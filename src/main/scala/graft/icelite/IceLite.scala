@@ -1,0 +1,355 @@
+package graft.icelite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** "IceLite" — a minimal Iceberg-style snapshot table format built from
+  * scratch for this engine (SURVEY.md §1.4). No Iceberg runtime exists in
+  * this sandbox, so the engine ships the subset of the public Iceberg table
+  * spec semantics that BASELINE.json requires:
+  *
+  *  - immutable parquet data files + a JSON metadata log (one file per commit)
+  *  - atomic commits via write-new-metadata + atomic rename of a version hint
+  *  - idempotent commits keyed by **epoch key**: a commit whose epoch key is
+  *    already in the snapshot log is a no-op replay — this is the
+  *    exactly-once mechanism for `foreachBatch` (epoch key = batch id)
+  *  - schema evolution as metadata-only commits (field-id based: add /
+  *    rename / widen / drop with NO data-file rewrite); readers reconcile
+  *    old files to the current schema by field id
+  *  - url-hash bucketed layout: each data file belongs to one bucket;
+  *    copy-on-write MERGE replaces only the buckets a batch touches
+  *  - time travel: any retained metadata version is readable
+  *
+  * Layout:
+  * {{{
+  * table/
+  *   data/<epoch>-<bucket>-<n>.parquet
+  *   metadata/v<N>.metadata.json
+  *   metadata/version-hint.text        // current N, swapped atomically
+  * }}}
+  *
+  * Scale note: on a real cluster the atomic-rename step is the one piece
+  * that changes — an object store needs a catalog pointer swap (conditional
+  * PUT) instead of a filesystem rename. Everything else (metadata log,
+  * epoch-keyed idempotence, bucket pruning) is storage-agnostic. Metadata is
+  * O(files + commits), read once per query from the driver.
+  */
+object IceLite {
+
+  /** Iceberg-style field: stable id survives renames and type widening. */
+  case class Field(id: Int, name: String, dataType: DataType, nullable: Boolean)
+
+  case class Schema(schemaId: Int, fields: Seq[Field]) {
+    def struct: StructType =
+      StructType(fields.map(f => StructField(f.name, f.dataType, f.nullable)))
+  }
+
+  case class DataFileEntry(path: String, bucket: Int, schemaId: Int, rows: Long)
+
+  case class Metadata(
+      version: Int,
+      snapshotId: Long,
+      parentSnapshotId: Long,
+      epochKey: String,
+      operation: String,
+      currentSchemaId: Int,
+      numBuckets: Int,
+      schemas: Seq[Schema],
+      files: Seq[DataFileEntry],
+      epochLog: Set[String],
+      committedAtMs: Long) {
+    def currentSchema: Schema = schemas.find(_.schemaId == currentSchemaId).get
+  }
+
+  // ---------------------------------------------------------------- JSON
+
+  private def typeToJsonString(dt: DataType): String = dt.json
+  private def typeFromJsonString(s: String): DataType = DataType.fromJson(s)
+
+  private def toJson(m: Metadata): String = {
+    val j = JObject(
+      "format" -> JString("icelite/1"),
+      "version" -> JInt(m.version),
+      "snapshotId" -> JLong(m.snapshotId),
+      "parentSnapshotId" -> JLong(m.parentSnapshotId),
+      "epochKey" -> JString(m.epochKey),
+      "operation" -> JString(m.operation),
+      "currentSchemaId" -> JInt(m.currentSchemaId),
+      "numBuckets" -> JInt(m.numBuckets),
+      "committedAtMs" -> JLong(m.committedAtMs),
+      "schemas" -> JArray(m.schemas.toList.map(s => JObject(
+        "schemaId" -> JInt(s.schemaId),
+        "fields" -> JArray(s.fields.toList.map(f => JObject(
+          "id" -> JInt(f.id),
+          "name" -> JString(f.name),
+          "type" -> JString(typeToJsonString(f.dataType)),
+          "nullable" -> JBool(f.nullable))))))),
+      "files" -> JArray(m.files.toList.map(f => JObject(
+        "path" -> JString(f.path),
+        "bucket" -> JInt(f.bucket),
+        "schemaId" -> JInt(f.schemaId),
+        "rows" -> JLong(f.rows)))),
+      "epochLog" -> JArray(m.epochLog.toList.sorted.map(JString(_))))
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+
+  private def fromJson(s: String): Metadata = {
+    val j = JsonMethods.parse(s)
+    def str(v: JValue): String = v match { case JString(x) => x; case _ => sys.error("str") }
+    def num(v: JValue): Long = v match {
+      case JInt(x) => x.toLong; case JLong(x) => x; case _ => sys.error("num")
+    }
+    def bool(v: JValue): Boolean = v match { case JBool(x) => x; case _ => sys.error("bool") }
+    val o = j.asInstanceOf[JObject].obj.toMap
+    val schemas = o("schemas").asInstanceOf[JArray].arr.map { sv =>
+      val so = sv.asInstanceOf[JObject].obj.toMap
+      Schema(
+        num(so("schemaId")).toInt,
+        so("fields").asInstanceOf[JArray].arr.map { fv =>
+          val fo = fv.asInstanceOf[JObject].obj.toMap
+          Field(num(fo("id")).toInt, str(fo("name")),
+            typeFromJsonString(str(fo("type"))), bool(fo("nullable")))
+        })
+    }
+    val files = o("files").asInstanceOf[JArray].arr.map { fv =>
+      val fo = fv.asInstanceOf[JObject].obj.toMap
+      DataFileEntry(str(fo("path")), num(fo("bucket")).toInt,
+        num(fo("schemaId")).toInt, num(fo("rows")))
+    }
+    Metadata(
+      num(o("version")).toInt, num(o("snapshotId")), num(o("parentSnapshotId")),
+      str(o("epochKey")), str(o("operation")), num(o("currentSchemaId")).toInt,
+      num(o("numBuckets")).toInt, schemas, files,
+      o("epochLog").asInstanceOf[JArray].arr.map(str).toSet,
+      num(o("committedAtMs")))
+  }
+
+  // ---------------------------------------------------------------- paths
+
+  private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
+  private def dataDir(dir: String): Path = Paths.get(dir, "data")
+  private def hintPath(dir: String): Path = metaDir(dir).resolve("version-hint.text")
+  private def metaPath(dir: String, v: Int): Path =
+    metaDir(dir).resolve(s"v$v.metadata.json")
+
+  def exists(dir: String): Boolean = Files.exists(hintPath(dir))
+
+  def currentVersion(dir: String): Int =
+    new String(Files.readAllBytes(hintPath(dir)), StandardCharsets.UTF_8).trim.toInt
+
+  def load(dir: String): Metadata = loadVersion(dir, currentVersion(dir))
+
+  def loadVersion(dir: String, v: Int): Metadata =
+    fromJson(new String(Files.readAllBytes(metaPath(dir, v)), StandardCharsets.UTF_8))
+
+  // ---------------------------------------------------------------- create
+
+  /** Create an empty table with user schema `struct` (field ids 1..n). */
+  def create(dir: String, struct: StructType, numBuckets: Int): Metadata = {
+    Files.createDirectories(metaDir(dir))
+    Files.createDirectories(dataDir(dir))
+    val fields = struct.fields.zipWithIndex.map { case (f, i) =>
+      Field(i + 1, f.name, f.dataType, f.nullable)
+    }
+    val m = Metadata(1, snapshotId = 1L, parentSnapshotId = 0L,
+      epochKey = "create", operation = "create", currentSchemaId = 1,
+      numBuckets = numBuckets, schemas = Seq(Schema(1, fields.toIndexedSeq)),
+      files = Nil, epochLog = Set("create"),
+      committedAtMs = System.currentTimeMillis())
+    writeMetadata(dir, m)
+    m
+  }
+
+  /** True iff `epochKey` was already committed — the replay no-op check. */
+  def hasEpoch(dir: String, epochKey: String): Boolean =
+    exists(dir) && load(dir).epochLog.contains(epochKey)
+
+  // ---------------------------------------------------------------- commit
+
+  /** Atomic commit: replace `replacedBuckets`' files with `newFiles`, and/or
+    * evolve the schema. Idempotent on `epochKey`: returns the existing
+    * metadata unchanged if the epoch was already committed (even if the
+    * process died between data-file staging and here — staged files of an
+    * aborted attempt are unreachable garbage, never visible).
+    */
+  def commit(
+      dir: String,
+      epochKey: String,
+      operation: String,
+      newFiles: Seq[DataFileEntry] = Nil,
+      replacedBuckets: Set[Int] = Set.empty,
+      newSchema: Option[Schema] = None): Metadata = synchronized {
+    val cur = load(dir)
+    if (cur.epochLog.contains(epochKey)) return cur
+    val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val schemas = newSchema match {
+      case Some(s) => cur.schemas :+ s
+      case None => cur.schemas
+    }
+    val m = Metadata(
+      version = cur.version + 1,
+      snapshotId = cur.snapshotId + 1,
+      parentSnapshotId = cur.snapshotId,
+      epochKey = epochKey,
+      operation = operation,
+      currentSchemaId = newSchema.map(_.schemaId).getOrElse(cur.currentSchemaId),
+      numBuckets = cur.numBuckets,
+      schemas = schemas,
+      files = kept ++ newFiles,
+      epochLog = cur.epochLog + epochKey,
+      committedAtMs = System.currentTimeMillis())
+    writeMetadata(dir, m)
+    m
+  }
+
+  private def writeMetadata(dir: String, m: Metadata): Unit = {
+    val mp = metaPath(dir, m.version)
+    Files.write(mp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    // Atomic pointer swap: write hint to a temp file, ATOMIC_MOVE over the
+    // live hint. Readers see either the old or the new version, never a
+    // partial write. (Object-store deployments: swap a catalog pointer via
+    // conditional PUT instead.)
+    val tmp = metaDir(dir).resolve(s".hint-${m.version}.tmp")
+    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, hintPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Internal (physical) columns appended to every data file by the writer;
+    * they never evolve and never appear in the user schema.
+    * `_offset`/`_partition` = source position of the winning event (the
+    * late-data merge condition); `_deleted` = tombstone flag so a delete
+    * masks later-arriving older events for the same url.
+    */
+  val internalFields: Seq[StructField] = Seq(
+    StructField("_offset", LongType, nullable = true),
+    StructField("_partition", IntegerType, nullable = true),
+    StructField("_deleted", BooleanType, nullable = false))
+
+  /** Read the table at the given (default: current) version, reconciled to
+    * that version's schema, INCLUDING internal columns and tombstones.
+    * Files are grouped by the schema they were written under; each group is
+    * read schema-pinned, then renamed by field id / widened / null-filled to
+    * the target schema — no data rewrite ever happens on evolution.
+    */
+  def readInternal(spark: SparkSession, dir: String,
+      version: Option[Int] = None,
+      buckets: Option[Set[Int]] = None): DataFrame = {
+    val m = version.map(loadVersion(dir, _)).getOrElse(load(dir))
+    val target = m.currentSchema
+    val wanted = buckets match {
+      case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
+      case None => m.files
+    }
+    val outStruct = StructType(target.struct.fields ++ internalFields)
+    if (wanted.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outStruct)
+    }
+    val bySchema = wanted.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    val parts = bySchema.map { case (sid, fs) =>
+      val writeSchema = m.schemas.find(_.schemaId == sid).get
+      val physical = StructType(writeSchema.struct.fields ++ internalFields)
+      val df = spark.read.schema(physical).parquet(fs.map(_.path): _*)
+      // reconcile by field id: rename, widen, then add missing as nulls
+      val byId = writeSchema.fields.map(f => f.id -> f).toMap
+      val cols = target.fields.map { tf =>
+        byId.get(tf.id) match {
+          case Some(wf) if wf.dataType == tf.dataType =>
+            col(wf.name).as(tf.name)
+          case Some(wf) =>
+            col(wf.name).cast(tf.dataType).as(tf.name) // widening cast
+          case None =>
+            lit(null).cast(tf.dataType).as(tf.name) // added after write
+        }
+      } ++ internalFields.map(f => col(f.name))
+      df.select(cols: _*)
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Public read: current live rows (tombstones filtered, internals dropped). */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val df = readInternal(spark, dir, version)
+    df.filter(!col("_deleted")).drop(internalFields.map(_.name): _*)
+  }
+
+  /** Append-only commit of a small DataFrame (sidecar lineage/metrics
+    * tables): writes one staged file set, commits under `epochKey`.
+    */
+  def append(spark: SparkSession, dir: String, epochKey: String, df: DataFrame): Unit = {
+    if (!exists(dir)) create(dir, df.schema, numBuckets = 1)
+    if (hasEpoch(dir, epochKey)) return
+    val m = load(dir)
+    val staged = stageFiles(dir, epochKey,
+      df.withColumn("_offset", lit(null).cast(LongType))
+        .withColumn("_partition", lit(null).cast(IntegerType))
+        .withColumn("_deleted", lit(false)),
+      bucketCol = None, schemaId = m.currentSchemaId)
+    commit(dir, epochKey, "append", newFiles = staged)
+  }
+
+  /** Write `df` (which must already contain the internal columns, and a
+    * `_bucket` column when `bucketCol` is set) into staged immutable data
+    * files under `data/`, returning their entries. Nothing is visible until
+    * `commit` publishes them in metadata — a crash leaves only orphans.
+    */
+  def stageFiles(dir: String, epochKey: String, df: DataFrame,
+      bucketCol: Option[String], schemaId: Int): Seq[DataFileEntry] = {
+    val safe = epochKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val staging = Paths.get(dir, "data", s".staging-$safe-${System.nanoTime()}")
+    bucketCol match {
+      case Some(bc) =>
+        df.write.partitionBy(bc).mode("overwrite").parquet(staging.toString)
+      case None =>
+        df.write.mode("overwrite").parquet(staging.toString)
+    }
+    // harvest part files into data/, named by epoch+bucket (collision-free:
+    // one staging dir per attempt; final names carry a sequence number)
+    val entries = scala.collection.mutable.ArrayBuffer[DataFileEntry]()
+    var seq = 0
+    def harvest(src: Path, bucket: Int): Unit = {
+      val it = Files.list(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) {
+          val dst = Paths.get(dir, "data", s"$safe-b$bucket-$seq.parquet")
+          Files.move(p, dst, StandardCopyOption.REPLACE_EXISTING)
+          entries += DataFileEntry(dst.toString, bucket, schemaId, -1L)
+          seq += 1
+        }
+      }
+    }
+    bucketCol match {
+      case Some(bc) =>
+        val it = Files.list(staging).iterator()
+        while (it.hasNext) {
+          val d = it.next()
+          val n = d.getFileName.toString
+          if (n.startsWith(s"$bc=")) {
+            harvest(d, n.substring(bc.length + 1).toInt)
+          }
+        }
+      case None => harvest(staging, 0)
+    }
+    // remove staging leftovers (_SUCCESS etc.)
+    deleteRecursively(staging)
+    entries.toSeq
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.icelite.IceLite
+import graft.model.Model
+import graft.sources.Ledger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full batch replay of a change ledger into a fresh (or resumable) table —
+  * the reconvergence path: "a full replay of 10^10 change events reconverges
+  * to the reference connector's final table state" (BASELINE.json).
+  *
+  * ALTER events split the ledger into schema segments by their global
+  * sequence position; each segment is one idempotent MERGE epoch, each ALTER
+  * one metadata-only epoch. Because every epoch is an idempotent IceLite
+  * commit, a replay that crashes anywhere can simply be re-run end-to-end:
+  * committed epochs no-op, the rest complete — no duplicates, no gaps.
+  */
+object Replay {
+
+  /** Replay a ledger directory into `tableDir`. Returns the segment count. */
+  def full(spark: SparkSession, ledgerDir: String, tableDir: String,
+      nBuckets: Int = 32, epochPrefix: String = "replay", nSalts: Int = 4): Int = {
+    if (!IceLite.exists(tableDir)) {
+      IceLite.create(tableDir, Model.pagesSchema, nBuckets)
+    }
+    val events = Ledger.scan(spark, ledgerDir)
+    // total order across partitions: global index = offset * P + partition
+    val nP = events.agg(max("partition")).head.getInt(0) + 1
+    val g = col("offset") * nP + col("partition")
+
+    // distinct: ALTER events can be wire-duplicated like any other event;
+    // a duplicate must not shift segment numbering or add empty epochs
+    val alters = events.filter(col("op") === "ALTER")
+      .select((col("offset") * nP + col("partition")).as("g"), col("alterJson"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+    var lo = Long.MinValue
+    var seg = 0
+    def mergeSegment(hi: Long): Unit = {
+      val slice = events.filter(col("op") =!= "ALTER" && g > lo &&
+        (if (hi == Long.MaxValue) lit(true) else g < hi))
+      Merge(spark, tableDir, slice, s"$epochPrefix.$seg", nSalts)
+      seg += 1
+    }
+    alters.foreach { case (pos, json) =>
+      mergeSegment(pos)
+      SchemaEvolution(tableDir, json, s"$epochPrefix.alter.$pos")
+      lo = pos
+    }
+    mergeSegment(Long.MaxValue)
+    seg
+  }
+}
