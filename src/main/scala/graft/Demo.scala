@@ -3,17 +3,21 @@ package graft
 import graft.icelite.IceLite
 import graft.sources.Ledger
 import graft.operators.Replay
+import graft.streaming.Pipeline
 import org.apache.spark.sql.SparkSession
 
-/** Demo CLI: synthesize a change ledger, replay it into an IceLite table,
+/** Demo CLI: synthesize a change ledger, apply it into an IceLite table
+  * (batch replay, or the Structured Streaming pipeline with `--stream`),
   * show the result. Usage:
-  * {{{ sbt "runMain graft.Demo <workDir> [nEvents] [alterAt]" }}}
+  * {{{ sbt "runMain graft.Demo <workDir> [nEvents] [alterAt] [--stream]" }}}
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val work = args.headOption.getOrElse(sys.error("usage: Demo <workDir>"))
-    val n = if (args.length > 1) args(1).toLong else 20000L
-    val alter = if (args.length > 2) Some(args(2).toLong) else None
+    val streaming = args.contains("--stream")
+    val pos = args.filterNot(_ == "--stream")
+    val work = pos.headOption.getOrElse(sys.error("usage: Demo <workDir>"))
+    val n = if (pos.length > 1) pos(1).toLong else 20000L
+    val alter = if (pos.length > 2) Some(pos(2).toLong) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("thorspark-demo")
@@ -33,13 +37,26 @@ object Demo {
       Ledger.synthesize(spark, cfg, ledger)
     }
     val t1 = System.nanoTime()
-    val segs = Replay.full(spark, ledger, table)
+    val mode = if (streaming) {
+      Pipeline.runToCompletion(spark, Pipeline.Config(
+        ledgerDir = ledger, tableDir = table,
+        checkpointDir = s"$work/checkpoint", lineageDir = s"$work/_lineage",
+        metricsDir = s"$work/_metrics"))
+      "streamed"
+    } else s"replayed ${Replay.full(spark, ledger, table)} segment(s)"
     val t2 = System.nanoTime()
 
     val m = IceLite.load(table)
     val live = IceLite.read(spark, table)
     println(f"=== ledger: $n events in ${(t1 - t0) / 1e9}%.1fs; " +
-      f"replay: $segs segment(s) in ${(t2 - t1) / 1e9}%.1fs")
+      f"$mode in ${(t2 - t1) / 1e9}%.1fs")
+    if (streaming) {
+      println("=== metrics:")
+      IceLite.read(spark, s"$work/_metrics").orderBy("epoch_id").show(50, false)
+      println("=== lineage (first rows):")
+      IceLite.read(spark, s"$work/_lineage")
+        .orderBy("epoch_id", "partition").show(8, false)
+    }
     println(f"=== throughput: ${n / ((t2 - t1) / 1e9)}%.0f events/sec applied")
     println(s"=== table: snapshot=${m.snapshotId} version=${m.version} " +
       s"schema=${m.currentSchema.struct.simpleString}")

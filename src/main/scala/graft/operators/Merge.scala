@@ -62,7 +62,8 @@ object Merge {
     * op ∈ {I,U,D} (ALTERs are handled by SchemaEvolution before this).
     */
   def apply(spark: SparkSession, tableDir: String, changes: DataFrame,
-      epochKey: String, nSalts: Int = 4): CommitResult = {
+      epochKey: String, nSalts: Int = 4,
+      preDeduped: Boolean = false): CommitResult = {
     val pre = IceLite.load(tableDir)
     if (pre.epochLog.contains(epochKey)) {
       return CommitResult(epochKey, committed = false, pre.snapshotId,
@@ -71,7 +72,7 @@ object Merge {
     val schema = pre.currentSchema
     val nBuckets = pre.numBuckets
 
-    val deduped = Dedup.latestPerKey(changes)
+    val deduped = if (preDeduped) changes else Dedup.latestPerKey(changes)
     // Winner rows in physical-table shape, resolved by field id so the merge
     // survives renames; extension fields (id > 5) are promoted out of the
     // `extra` map; `text` is computed by the frozen extractor.

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import graft.icelite.IceLite
+import graft.model.Model
+import graft.operators.{Dedup, Merge, SchemaEvolution}
+import graft.sources.Ledger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The production entry point: Structured Streaming CDC pipeline
+  * (BASELINE.json north_star — "tail a Kafka-carried binlog/WAL …
+  * exactly-once via idempotent snapshot commits keyed by epoch-id plus
+  * checkpointed source offsets … per-micro-batch per-partition lineage
+  * records and throughput metrics to a sidecar table … recovery from any
+  * checkpoint without duplicates or gaps").
+  *
+  * Exactly-once decomposition (SURVEY.md §3, entry point 1):
+  *  - BEFORE a batch runs, Structured Streaming writes the offsets WAL in
+  *    `checkpointDir` — the source-side bookkeeping.
+  *  - INSIDE the batch, every effect (table merge, each ALTER, lineage
+  *    append, metrics append) is an idempotent IceLite commit keyed by a
+  *    deterministic epoch key derived from the batch id. A crash anywhere
+  *    between the two WALs re-runs the batch on restart; committed epochs
+  *    no-op, missing ones complete. No duplicates, no gaps.
+  *
+  * Watermark contract: `watermarkDelay` must be ≥ the source's maximum
+  * event-time disorder. Events later than that are dropped by the dedup
+  * state (standard append-mode semantics) — the batch↔streaming
+  * equivalence gate holds because the synthetic source's disorder is
+  * bounded (Ledger.Config.outOfOrderLagMs).
+  */
+object Pipeline {
+
+  case class Config(
+      ledgerDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      lineageDir: String,
+      metricsDir: String,
+      nBuckets: Int = 32,
+      nSalts: Int = 4,
+      watermarkDelay: String = "2 hours",
+      maxFilesPerTrigger: Int = 8,
+      /** test hook: throw at (epochId, point); point ∈ {beforeMerge,
+        * afterMerge, afterLineage} — the M5 kill/restart fault injection */
+      failAt: Option[(Long, String)] = None)
+
+  /** Start the pipeline. `Trigger.AvailableNow()` = bounded replay-to-end
+    * (the bench path); `ProcessingTime` = continuous tail.
+    */
+  def run(spark: SparkSession, cfg: Config,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    if (!IceLite.exists(cfg.tableDir)) {
+      IceLite.create(cfg.tableDir, Model.pagesSchema, cfg.nBuckets)
+    }
+    val stream = Ledger.tail(spark, cfg.ledgerDir, cfg.maxFilesPerTrigger)
+      .withWatermark("warc_ts", cfg.watermarkDelay)
+      .dropDuplicatesWithinWatermark("url", "warc_ts", "offset", "partition")
+
+    stream.writeStream
+      .queryName("thorspark-pipeline")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        processBatch(df.sparkSession, cfg, df, epochId)
+      }
+      .start()
+  }
+
+  /** One micro-batch: ALTERs first (in global order), then one conditional
+    * MERGE of the data events, then lineage + metrics sidecar commits —
+    * each an independently idempotent epoch.
+    */
+  def processBatch(spark: SparkSession, cfg: Config, df: DataFrame,
+      epochId: Long): Unit = {
+    val t0 = System.nanoTime()
+    def inject(point: String): Unit = cfg.failAt.foreach { case (e, p) =>
+      if (e == epochId && p == point) {
+        throw new RuntimeException(s"injected failure at epoch $epochId/$point")
+      }
+    }
+    val batch = df.cache()
+    try {
+      // 1. schema evolution, ordered by global position, deduped (ALTER
+      //    events can be wire-duplicated like any event)
+      val alters = batch.filter(col("op") === "ALTER")
+        .select(col("offset"), col("partition"), col("alterJson"))
+        .distinct()
+        .collect()
+        .sortBy(r => (r.getLong(0), r.getInt(1)))
+      alters.zipWithIndex.foreach { case (r, k) =>
+        SchemaEvolution(cfg.tableDir, r.getString(2), s"stream.$epochId.alter.$k")
+      }
+
+      // 2. dedup once; reuse for lineage stats AND the merge
+      val data = batch.filter(col("op") =!= "ALTER")
+      val eventsIn = data.count()
+      if (eventsIn == 0) return // nothing to commit; replay-safe no-op
+      val deduped = Dedup.latestPerKey(data).cache()
+      try {
+        inject("beforeMerge")
+        val res = Merge(spark, cfg.tableDir, deduped, s"stream.$epochId",
+          cfg.nSalts, preDeduped = true)
+        inject("afterMerge")
+
+        // 3. lineage: one row per source partition of this batch. Derived
+        //    from the batch content (deterministic on replay), not from the
+        //    table diff — so a re-run after a crash commits identical rows.
+        val snapshotId = IceLite.load(cfg.tableDir).snapshotId
+        // offset range = RAW consumed range (the gapless-cover invariant);
+        // rows_applied = post-dedup winners actually merged
+        val ranges = data.groupBy(col("partition"))
+          .agg(min("offset").as("min_offset"), max("offset").as("max_offset"))
+        val applied = deduped.groupBy(col("partition"))
+          .agg(count(lit(1)).as("rows_applied"))
+        val lineageDf = ranges
+          .join(applied, Seq("partition"), "left")
+          .na.fill(0L, Seq("rows_applied"))
+          .select(lit(epochId).as("epoch_id"), col("partition"),
+            col("min_offset"), col("max_offset"), col("rows_applied"),
+            lit(snapshotId).as("snapshot_id"),
+            current_timestamp().as("commit_ts"))
+        IceLite.append(spark, cfg.lineageDir, s"stream.$epochId", lineageDf)
+        inject("afterLineage")
+
+        // 4. throughput metrics: one row per batch
+        import spark.implicits._
+        val batchMs = (System.nanoTime() - t0) / 1000000L
+        val metricsDf = Seq((epochId, eventsIn, res.rowsUpserted,
+          res.rowsDeleted, batchMs,
+          if (batchMs > 0) eventsIn * 1000.0 / batchMs else 0.0))
+          .toDF("epoch_id", "events_in", "rows_upserted", "rows_deleted",
+            "batch_ms", "events_per_sec")
+        IceLite.append(spark, cfg.metricsDir, s"stream.$epochId", metricsDf)
+      } finally deduped.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** Run to end of available input and wait (the bounded-replay path). */
+  def runToCompletion(spark: SparkSession, cfg: Config): Unit = {
+    val q = run(spark, cfg, Trigger.AvailableNow())
+    try q.awaitTermination()
+    finally if (q.isActive) q.stop()
+  }
+}
