@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches.
+  *
+  * The DECODE step is a clearly-marked deterministic STUB — no image/audio
+  * codec libraries exist in this container. Everything around it is the
+  * real Spark shape a production pipeline needs: binary column in, typed
+  * struct out, `mapPartitions` batching (the Scala analog of `mapInPandas`
+  * batch processing — one decoder init per partition, not per row),
+  * partition-size control upstream, and columnar metadata downstream.
+  * Swapping `stubDecode` for a real codec is a one-function change.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      media_id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
+    * A real deployment replaces this body with an actual codec call; the
+    * signature and everything calling it stay as-is.
+    */
+  def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    // ??? <- real codec goes here; deterministic fake below
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val fmt = (h & 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"; case _ => "mp4"
+    }
+    MediaMeta(id, bytes.length, fmt,
+      width = 64 + math.abs(h % 1024).toInt,
+      height = 64 + math.abs((h >> 10) % 1024).toInt,
+      n_frames = if (fmt == "mp4") 1 + math.abs((h >> 20) % 240).toInt else 1,
+      checksum = h)
+  }
+
+  /** Decode a (id, payload) dataset to typed metadata in partition-local
+    * batches. `mapPartitions` so decoder state (a real codec context) is
+    * initialized once per task, amortized over the whole partition.
+    */
+  def decodeMeta(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec: init decoder context here, once per partition
+      it.map { case (id, bytes) => stubDecode(id, bytes) }
+    }
+  }
+
+  /** End-to-end shape over a DataFrame with (idCol: long, binCol: binary):
+    * repartition to bound batch memory (binary rows are wide), decode, and
+    * return columnar metadata.
+    */
+  def extractMeta(df: DataFrame, idCol: String, binCol: String,
+      partitions: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val typed = df.select(col(idCol).cast("long"), col(binCol))
+      .na.drop(Seq(binCol))
+      .repartition(partitions)
+      .as[(Long, Array[Byte])]
+    decodeMeta(typed).toDF()
+  }
+}

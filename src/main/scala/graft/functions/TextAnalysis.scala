@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All are pure Catalyst expression compositions (codegen'd, no UDFs):
+  * at 100 TB these run inside WholeStageCodegen directly over the parquet
+  * scan with nothing but a projection — no shuffle, no JVM boundary.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: split on whitespace + common punctuation — a
+    * cheap, deterministic proxy for subword tokenizer load estimation.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(split(text, "[\\s.,;:!?]+"))
+
+  /** Marker stopword lists for the n-gram/stopword language heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val set = markers.map(lit)
+    size(filter(toks, t => array_contains(array(set: _*), t)))
+  }
+
+  /** Heuristic language ID: most marker-stopword hits wins (fixed
+    * precedence en > de > fr > es on ties; "und" = undetermined when no
+    * marker hits at all). Deterministic, oracle-expressible.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = markerHits(toks, langMarkers("en"))
+    val de = markerHits(toks, langMarkers("de"))
+    val fr = markerHits(toks, langMarkers("fr"))
+    val es = markerHits(toks, langMarkers("es"))
+    val top = greatest(en, de, fr, es)
+    when(top === 0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(fr === top, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword ratio + lexical
+    * diversity. All terms are exact ratios of integer counts, so the score
+    * is bit-identical across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val nTok = size(toks).cast("double")
+    val lenTerm = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopTerm = markerHits(toks, langMarkers("en")).cast("double") /
+      greatest(nTok, lit(1.0))
+    val divTerm = size(array_distinct(toks)).cast("double") /
+      greatest(nTok, lit(1.0))
+    round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * divTerm, 5)
+  }
+
+  /** Deterministic document fingerprint: md5 over whitespace-normalized,
+    * lowercased text. The exact-dedup / near-dup blocking key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}
