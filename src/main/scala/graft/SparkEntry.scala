@@ -1,13 +1,726 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{DedupOps, Multimodal, Similarity, TextAnalysis}
+import graft.icelite.IceLite
+import graft.operators.Replay
+import graft.sources.Ledger
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract (SURVEY.md §2 operator inventory → one query per key;
+  * §7 M6). Every SQL-expressible operator has a DuckDB oracle in
+  * [[oracleSql]] over the same parquet tables; non-SQL-expressible ops
+  * (hash-dependent or engine-internal) are rows-only here and fully
+  * asserted in the sbt suites instead.
+  *
+  * Parity rules used throughout (Spark ↔ DuckDB):
+  *  - every aggregate/computed column is aliased identically on both sides
+  *  - double aggregations go through DECIMAL(18,3) casts per value, and
+  *    aggregate results are cast back to a fixed decimal type, so sums are
+  *    exact and engine-order-independent
+  *  - integer-ish outputs are cast to BIGINT on both sides (DuckDB windows/
+  *    length functions return BIGINT where Spark returns INT)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 3))
+
+  /** Flagship: the actual CDC engine end-to-end at sf0.001 scale —
+    * synthesize a ledger, replay it into an IceLite table with a mid-stream
+    * ALTER, return the live page rows. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val cfg = Ledger.Config(nEvents = 3000, nDomains = 30, pagesPerDomain = 10,
+      partitions = 4, segments = 2,
+      alterAt = Map(1500L -> Ledger.addColumnJson("fetch_ms", "long")))
+    Ledger.synthesize(spark, cfg, s"$work/ledger")
+    Replay.full(spark, s"$work/ledger", s"$work/pages", nBuckets = 16)
+    IceLite.read(spark, s"$work/pages")
+      .select(col("url"), col("warc_ts"), length(col("text")).as("n_chars"),
+        col("lang"), col("fetch_ms"))
+  }
+
+  // ------------------------------------------------------------------
+  // queries: one per operator key (SURVEY.md §2). Signature fixed by the
+  // driver: (SparkSession, sfDir) => DataFrame.
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.1 sources / sinks ------------------------------------------
+    "scan_ledger" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))),
+
+    "scan_table" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    "dlq_split" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "error", lit("dlq"))
+            .when(col("value").isNull, lit("tombstone"))
+            .otherwise(lit("ok")).as("route"))),
+
+    // ---- §2.2 record-level transforms (Connect SMT surface) ------------
+    "cast_types" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        col("event_id").cast("string").as("id_str"),
+        col("user_id").cast("double").as("uid_d"),
+        col("ts").cast("date").as("day"))),
+
+    "project_fields" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"))),
+
+    "filter_pred" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("value").between(50, 150) && col("event_type") =!= "error")
+        .select(col("event_id"), col("value"))),
+
+    "flatten_struct" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type")).as("k"))
+        .select(col("event_id"), col("k.user_id").as("k_user_id"),
+          col("k.event_type").as("k_event_type"))),
+
+    "insert_field" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        pmod(col("user_id"), lit(4L)).as("src_partition"),
+        to_date(col("ts")).as("ingest_day"))),
+
+    "map_ops" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          map_from_arrays(array(lit("type"), lit("uid")),
+            array(col("event_type"), col("user_id").cast("string"))).as("m"))
+        .select(col("event_id"), element_at(col("m"), "type").as("type_val"),
+          element_at(col("m"), "uid").as("uid_val"))),
+
+    "mask_field" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]", "*").as("props_masked"))),
+
+    "regex_route" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        concat(lit("evt-"),
+          regexp_extract(col("event_type"), "^(..)", 1)).as("route"))),
+
+    "rename_drop" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumnRenamed("event_id", "id")
+        .withColumnRenamed("value", "amount")
+        .select(col("id"), col("amount"))),
+
+    "ts_convert" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"))),
+
+    "ts_route" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        concat(lit("events-"),
+          date_format(col("ts"), "yyyyMMdd")).as("topic"))),
+
+    "tombstone_split" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(when(col("value") < 20, lit("tombstone"))
+          .when(col("event_type") === "error", lit("dlq"))
+          .otherwise(lit("data")).as("klass"))
+        .agg(count(lit(1)).as("n"))),
+
+    "json_decode" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    "op_dispatch" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        when(col("event_type").isin("signup", "purchase"), lit("upsert"))
+          .when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("noop")).as("op"),
+        coalesce(nullif(col("event_type"), lit("view")),
+          lit("masked")).as("routed"))),
+
+    // ---- §2.3 joins -----------------------------------------------------
+    "merge_join" -> ((s, d) => {
+      val latest = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("last_value"))
+      t(s, d, "customer").join(latest,
+          col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("user_id")).as("key"),
+          when(col("user_id").isNull, lit("unchanged"))
+            .when(col("c_custkey").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("last_value"), col("c_acctbal")).as("new_balance"))
+    }),
+
+    "broadcast_join" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dec(sum(dec(col("l_extendedprice")))).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "asof_latest" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_uid"), col("ts").as("s_ts"))
+      p.join(sg, col("user_id") === col("s_uid") && col("s_ts") <= col("ts"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(col("s_ts")).as("last_signup_ts"))
+    }),
+
+    "range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50.0), (50.0, 120.0), (120.0, 250.0),
+        (250.0, 1000.0)).toDF("lo", "hi")
+      t(s, d, "events")
+        .join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("lo")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.4 aggregations / windows / set ops --------------------------
+    "dedup_latest" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("w"))
+        .select(col("user_id"), col("w.event_id").as("last_event"),
+          col("w.ts").as("last_ts"), col("w.value").as("last_value"))),
+
+    "agg_metrics" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("value")))).as("total"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))),
+
+    "rollup_metrics" -> ((s, d) =>
+      t(s, d, "events").rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("value")))).as("total"))),
+
+    "distinct_urls" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))),
+
+    "tumbling_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("total"))
+        .select(col("w.start").as("w_start"), col("n"), col("total"))),
+
+    "sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))),
+
+    "session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"))),
+
+    "topk_domains" -> ((s, d) => {
+      val counts = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      counts.withColumn("rnk",
+          dense_rank().over(Window.orderBy(col("n_docs").desc)).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("n_docs"), col("rnk"))
+    }),
+
+    "offset_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_id") - col("prev") > 1, lit(1L))
+          .otherwise(lit(0L))).as("n_gaps"),
+          max(col("event_id") - col("prev")).as("max_step"))
+    }),
+
+    "sort_limit" -> ((s, d) =>
+      t(s, d, "events").orderBy(col("value").desc, col("event_id").asc)
+        .select(col("event_id"), col("value")).limit(20)),
+
+    "except_diff" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "signup").select(col("user_id")).distinct()
+        .except(e.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct())
+    }),
+
+    "pivot_ops" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))),
+
+    // ---- §2.5 scalar function families ----------------------------------
+    "str_funcs" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        upper(col("source")).as("src_up"),
+        substring(col("text"), 1, 12).as("head"),
+        split(col("text"), " ").getItem(0).as("first_tok"),
+        levenshtein(split(col("text"), " ").getItem(0), lit("data"))
+          .cast("long").as("lev"))),
+
+    "date_funcs" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        date_trunc("month", col("ts")).as("month_start"),
+        hour(col("ts")).cast("long").as("hr"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_since"))),
+
+    "hash_bucket" -> ((s, d) => // no oracle: xxhash64 is Spark-specific
+      t(s, d, "documents")
+        .groupBy(pmod(xxhash64(col("text")), lit(32L)).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    "array_funcs" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(aggregate(transform(slice(col("embedding"), 1, 8),
+          x => x.cast("double")), lit(0.0), (acc, x) => acc + x), 5)
+          .as("head_sum"),
+        round(array_max(col("embedding")).cast("double"), 5).as("vmax"))),
+
+    "map_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          map_from_arrays(array(lit("t"), lit("v")),
+            array(col("event_type"), col("value").cast("string"))).as("m"))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"),
+          element_at(col("m"), "t").as("t_val"))),
+
+    "json_funcs" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_long"),
+        to_json(struct(col("user_id"), col("event_type"))).as("j"))),
+
+    "bin_funcs" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        base64(substring(col("text"), 1, 6).cast("binary")).as("b64"))),
+
+    // ---- training-data pipeline operators --------------------------------
+    "dedup_exact" -> ((s, d) =>
+      DedupOps.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        "lang", 0.9)),
+
+    "dedup_minhash" -> ((s, d) => // no oracle: xxhash64 minhash family
+      DedupOps.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, minEstimate = 0.9)),
+
+    "dedup_simhash" -> ((s, d) => // no oracle: xxhash64 simhash
+      DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4)),
+
+    "ann_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("id") < 5, 3).withColumn("rank", col("rank").cast("long"))),
+
+    "ann_lsh" -> ((s, d) => // no oracle: LSH buckets are engine-defined
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        col("id") < 5, 3, nPlanes = 3, nTables = 6)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    "lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))),
+
+    "token_count" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("sum_tokens"),
+          sum(TextAnalysis.tokenCountBpeish(col("text")).cast("long"))
+            .as("sum_bpeish"))),
+
+    "doc_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    "multimodal_meta" -> ((s, d) => // no oracle: stubbed decode (see Scaladoc)
+      Multimodal.extractMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload", 8)))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — same table names (driver registers each
+  // <sfDir>/<name>.parquet as a view), same column names, same types.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_ledger" ->
+      """SELECT event_id, ts, user_id, event_type, value
+         FROM events WHERE event_type <> 'error'""",
+
+    "scan_table" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+
+    "dlq_split" ->
+      """SELECT event_id, CASE WHEN event_type = 'error' THEN 'dlq'
+           WHEN value IS NULL THEN 'tombstone' ELSE 'ok' END AS route
+         FROM events""",
+
+    "cast_types" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+           CAST(user_id AS DOUBLE) AS uid_d, CAST(ts AS DATE) AS day
+         FROM events""",
+
+    "project_fields" ->
+      "SELECT event_id, user_id, event_type FROM events",
+
+    "filter_pred" ->
+      """SELECT event_id, value FROM events
+         WHERE value BETWEEN 50 AND 150 AND event_type <> 'error'""",
+
+    "flatten_struct" ->
+      """SELECT event_id, user_id AS k_user_id, event_type AS k_event_type
+         FROM events""",
+
+    "insert_field" ->
+      """SELECT event_id, user_id % 4 AS src_partition,
+           CAST(ts AS DATE) AS ingest_day FROM events""",
+
+    "map_ops" ->
+      """SELECT event_id, event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val FROM events""",
+
+    "mask_field" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]', '*', 'g')
+           AS props_masked FROM events""",
+
+    "regex_route" ->
+      """SELECT event_id, 'evt-' || regexp_extract(event_type, '^(..)', 1)
+           AS route FROM events""",
+
+    "rename_drop" ->
+      "SELECT event_id AS id, value AS amount FROM events",
+
+    "ts_convert" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H') AS hour_str FROM events""",
+
+    "ts_route" ->
+      """SELECT event_id, 'events-' || strftime(ts, '%Y%m%d') AS topic
+         FROM events""",
+
+    "tombstone_split" ->
+      """SELECT CASE WHEN value < 20 THEN 'tombstone'
+           WHEN event_type = 'error' THEN 'dlq' ELSE 'data' END AS klass,
+           count(*) AS n
+         FROM events GROUP BY 1""",
+
+    "json_decode" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events""",
+
+    "op_dispatch" ->
+      """SELECT event_id,
+           CASE WHEN event_type IN ('signup','purchase') THEN 'upsert'
+             WHEN event_type = 'error' THEN 'delete' ELSE 'noop' END AS op,
+           COALESCE(nullif(event_type, 'view'), 'masked') AS routed
+         FROM events""",
+
+    "merge_join" ->
+      """WITH latest AS (
+           SELECT user_id, value AS last_value FROM (
+             SELECT user_id, value, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+           CASE WHEN l.user_id IS NULL THEN 'unchanged'
+             WHEN c.c_custkey IS NULL THEN 'insert'
+             ELSE 'update' END AS action,
+           COALESCE(l.last_value, c.c_acctbal) AS new_balance
+         FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id""",
+
+    "broadcast_join" ->
+      """SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DECIMAL(18,3))
+             AS revenue,
+           count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+    "asof_latest" ->
+      """SELECT p.event_id, p.user_id, max(s.ts) AS last_signup_ts
+         FROM events p
+         JOIN events s ON s.user_id = p.user_id
+           AND s.event_type = 'signup' AND s.ts <= p.ts
+         WHERE p.event_type = 'purchase'
+         GROUP BY p.event_id, p.user_id""",
+
+    "range_join" ->
+      """SELECT b.lo, count(*) AS n
+         FROM events e
+         JOIN (VALUES (0.0, 50.0), (50.0, 120.0), (120.0, 250.0),
+           (250.0, 1000.0)) b(lo, hi)
+           ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY b.lo""",
+
+    "dedup_latest" ->
+      """SELECT user_id, event_id AS last_event, ts AS last_ts,
+           value AS last_value
+         FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""",
+
+    "agg_metrics" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type""",
+
+    "rollup_metrics" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total
+         FROM events GROUP BY ROLLUP(event_type)""",
+
+    "distinct_urls" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs
+         FROM documents GROUP BY lang""",
+
+    "tumbling_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total
+         FROM events GROUP BY 1""",
+
+    "sliding_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+             - k * INTERVAL '1 day' AS w_start,
+           count(*) AS n
+         FROM events, (SELECT unnest([0,1,2,3,4,5,6]) AS k)
+         GROUP BY 1""",
+
+    "session_window" ->
+      """WITH s AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '1 hour'
+               THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         i AS (
+           SELECT user_id, ts, sum(new_s) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM s)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM i GROUP BY user_id, sid""",
+
+    "topk_domains" ->
+      """SELECT source, n_docs, rnk FROM (
+           SELECT source, count(*) AS n_docs,
+             dense_rank() OVER (ORDER BY count(*) DESC) AS rnk
+           FROM documents GROUP BY source)
+         WHERE rnk <= 5""",
+
+    "offset_gaps" ->
+      """SELECT user_id,
+           sum(CASE WHEN event_id - prev > 1 THEN 1 ELSE 0 END) AS n_gaps,
+           max(event_id - prev) AS max_step
+         FROM (SELECT user_id, event_id, lag(event_id) OVER (
+             PARTITION BY user_id ORDER BY event_id) AS prev
+           FROM events)
+         GROUP BY user_id""",
+
+    "sort_limit" ->
+      """SELECT event_id, value FROM events
+         ORDER BY value DESC, event_id LIMIT 20""",
+
+    "except_diff" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
+
+    "pivot_ops" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+
+    "str_funcs" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+           upper(source) AS src_up, substr(text, 1, 12) AS head,
+           string_split(text, ' ')[1] AS first_tok,
+           CAST(levenshtein(string_split(text, ' ')[1], 'data') AS BIGINT)
+             AS lev
+         FROM documents""",
+
+    "date_funcs" ->
+      """SELECT event_id,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             AS BIGINT) AS days_since
+         FROM events""",
+
+    "array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           round(list_sum(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE))), 5) AS head_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 5) AS vmax
+         FROM embeddings""",
+
+    "map_funcs" ->
+      """SELECT event_id, CAST(2 AS BIGINT) AS n_keys,
+           event_type AS t_val FROM events""",
+
+    "json_funcs" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           '{"user_id":' || user_id || ',"event_type":"' || event_type ||
+             '"}' AS j
+         FROM events""",
+
+    "bin_funcs" ->
+      """SELECT doc_id, md5(text) AS h,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           to_base64(CAST(substr(text, 1, 6) AS BLOB)) AS b64
+         FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+
+    "dedup_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+               CAST(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4)
+               AS jaccard
+           FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+
+    "ann_cosine" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             round(list_cosine_similarity(q.v, n.v), 4) AS cos,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+               AS rank
+           FROM e q JOIN e n ON n.vec_id <> q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM scored WHERE rank <= 3""",
+
+    "lang_id" ->
+      """SELECT doc_id, CASE
+           WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+           WHEN en = greatest(en, de, fr, es) THEN 'en'
+           WHEN de = greatest(en, de, fr, es) THEN 'de'
+           WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+           ELSE 'es' END AS lang_guess
+         FROM (SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the','and','of','to','a','in','is','that'))) AS en,
+             len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+             len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+             len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('el','la','los','y','es','un','una','que'))) AS es
+           FROM documents)""",
+
+    "quality_score" ->
+      """SELECT doc_id,
+           CAST(0.4 AS DOUBLE)
+             * least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE),
+               CAST(1.0 AS DOUBLE))
+           + CAST(0.3 AS DOUBLE)
+             * (CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','and','of','to','a','in','is','that')))
+                 AS DOUBLE)
+               / greatest(CAST(len(string_split(lower(text), ' ')) AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)))
+           + CAST(0.3 AS DOUBLE)
+             * (CAST(len(list_distinct(string_split(lower(text), ' ')))
+                 AS DOUBLE)
+               / greatest(CAST(len(string_split(lower(text), ' ')) AS DOUBLE),
+                 CAST(1.0 AS DOUBLE))) AS score
+         FROM documents""",
+
+    "token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(sum(len(string_split_regex(text, '[\s.,;:!?]+'))) AS BIGINT)
+             AS sum_bpeish
+         FROM documents GROUP BY lang""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         FROM documents""")
 }

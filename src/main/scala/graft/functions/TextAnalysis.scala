@@ -55,8 +55,10 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1]: length saturation + stopword ratio + lexical
-    * diversity. All terms are exact ratios of integer counts, so the score
-    * is bit-identical across engines.
+    * diversity. Every term is a ratio of integer counts computed in double
+    * with a fixed operation order, so the score is BIT-identical across
+    * engines — deliberately not rounded (rounding functions differ across
+    * engines at half-way points; identical doubles never do).
     */
   def qualityScore(text: Column): Column = {
     val toks = tokens(lower(text))
@@ -66,7 +68,7 @@ object TextAnalysis {
       greatest(nTok, lit(1.0))
     val divTerm = size(array_distinct(toks)).cast("double") /
       greatest(nTok, lit(1.0))
-    round(lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * divTerm, 5)
+    lit(0.4) * lenTerm + lit(0.3) * stopTerm + lit(0.3) * divTerm
   }
 
   /** Deterministic document fingerprint: md5 over whitespace-normalized,
