@@ -353,8 +353,11 @@ object SparkEntry {
         "lang", 0.9)),
 
     "dedup_minhash" -> ((s, d) => // no oracle: xxhash64 minhash family
+      // long bands (2×8): this corpus is intrinsically self-similar, so
+      // short bands put half the corpus in every bucket; j^8 band-match
+      // probability keeps candidate sets bucket-local
       DedupOps.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
-        bands = 4, rowsPerBand = 4, minEstimate = 0.9)),
+        bands = 2, rowsPerBand = 8, minEstimate = 0.9)),
 
     "dedup_simhash" -> ((s, d) => // no oracle: xxhash64 simhash
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4)),

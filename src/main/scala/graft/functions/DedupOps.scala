@@ -37,22 +37,36 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
 
-  /** Near-duplicate pairs by token-set Jaccard with blocking on
-    * (lang, length bucket): candidates = same language and similar size —
-    * a Jaccard ≥ threshold pair cannot differ much in set size, so the
-    * block is sound for thresholds ≥ 0.5 with bucket width ≥ 2×.
+  /** Near-duplicate pairs by token-set Jaccard with LOSSLESS blocking on
+    * (lang, size bucket): J(A,B) ≥ t implies |A∩B| ≥ t·max(|A|,|B|) and
+    * |A∩B| ≤ min(|A|,|B|), hence min ≥ t·max — sizes within factor 1/t.
+    * Bucketing sizes by log base 1/t, a qualifying pair differs by at most
+    * one bucket, so side A explodes to {k-1, k, k+1} and the join is a pure
+    * equi-join on (lang, bucket): no O(n²)-per-language blowup, identical
+    * result set. The exact size guard + Jaccard filter run inside the
+    * (small) candidate set; the intersection is computed once per pair.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0)
+    val logBase = math.log(1.0 / threshold)
     val toks = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
       tokenSet(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("bkt", floor(log(greatest(col("sz"), lit(1))
+        .cast("double")) / lit(logBase)).cast("int"))
     val a = toks.select(col("id").as("a_id"), col("lang"),
-      col("toks").as("a_toks"))
+      col("toks").as("a_toks"), col("sz").as("a_sz"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
     val b = toks.select(col("id").as("b_id"), col("lang"),
-      col("toks").as("b_toks"))
-    a.join(b, Seq("lang"))
+      col("toks").as("b_toks"), col("sz").as("b_sz"), col("bkt"))
+    a.join(b, Seq("lang", "bkt"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccard(col("a_toks"), col("b_toks")), 4))
+      .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
+        lit(threshold) * greatest(col("a_sz"), col("b_sz")).cast("double"))
+      .withColumn("isect", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("jaccard", round(col("isect").cast("double") /
+        (col("a_sz") + col("b_sz") - col("isect")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -89,7 +103,7 @@ object DedupOps {
     l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .distinct()
+      .dropDuplicates("a_id", "b_id")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
           m => m)).cast("double") / lit(k.toDouble))

@@ -97,14 +97,38 @@ object Merge {
       col("offset").as("_offset"),
       col("partition").as("_partition"),
       isDelete.as("_deleted"))
+    val urlName = schema.fields.head.name
+
+    // Initial-load fast path (CTAS-style): merging into an EMPTY table has
+    // no matched side — no bucket pruning to compute, no carry-forward join.
+    // One single pass from scan to committed files (no cache, no stats
+    // action): this is the 10^10-event full-replay bootstrap, where an
+    // extra materialization of the whole corpus would double the cost.
+    if (pre.files.isEmpty) {
+      val rows = deduped.select(valueCols ++ internals: _*)
+        .withColumn("_bucket", Salt.bucket(col(urlName), nBuckets))
+      val salted = rows.repartition(
+        col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(nSalts.toLong)))
+      val staged = IceLite.stageFiles(tableDir, epochKey, salted,
+        bucketCol = Some("_bucket"), schemaId = schema.schemaId)
+      val post = IceLite.commit(tableDir, epochKey, "merge",
+        newFiles = staged, replacedBuckets = (0 until nBuckets).toSet)
+      return CommitResult(epochKey, committed = post.epochKey == epochKey,
+        post.snapshotId, (0 until nBuckets).toSet, eventsIn = -1L,
+        rowsUpserted = -1L, rowsDeleted = -1L, lineage = Nil)
+    }
+
     val newRows = deduped.select(valueCols ++ internals: _*).cache()
 
-    // lineage + metrics in ONE aggregation pass over the (small) deduped set
+    // ONE aggregation action yields lineage stats AND the affected-bucket
+    // set (serial job-submission overhead is per action — keep Merge at
+    // exactly two: this collect and the write)
     val statsRows = newRows
       .groupBy(col("_partition"))
       .agg(min("_offset").as("lo"), max("_offset").as("hi"),
         count(lit(1)).as("n"),
-        sum(when(col("_deleted"), 1L).otherwise(0L)).as("dels"))
+        sum(when(col("_deleted"), 1L).otherwise(0L)).as("dels"),
+        collect_set(Salt.bucket(col(urlName), nBuckets)).as("buckets"))
       .collect()
     val lineage = statsRows.map(r => LineageRow(r.getInt(0), r.getLong(1),
       r.getLong(2), r.getLong(3))).toSeq
@@ -112,11 +136,7 @@ object Merge {
     val deletes = statsRows.map(_.getLong(4)).sum
 
     // affected storage buckets — tiny driver-side set, prunes the read
-    val affected = newRows
-      .select(Salt.bucket(col(schema.fields.head.name), nBuckets).as("_bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
-
-    val urlName = schema.fields.head.name
+    val affected = statsRows.flatMap(_.getSeq[Int](5)).toSet
     val existing = IceLite.readInternal(spark, tableDir, buckets = Some(affected))
 
     // conditional merge: newer (warc_ts, _offset, _partition) wins

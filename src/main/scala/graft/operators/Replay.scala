@@ -25,31 +25,34 @@ object Replay {
       IceLite.create(tableDir, Model.pagesSchema, nBuckets)
     }
     val events = Ledger.scan(spark, ledgerDir)
-    // total order across partitions: global index = offset * P + partition
-    val nP = events.agg(max("partition")).head.getInt(0) + 1
-    val g = col("offset") * nP + col("partition")
+    // total order across partitions: (offset, partition) lexicographic —
+    // needs no "how many partitions" pre-query (one less Spark action)
+    def g = struct(col("offset"), col("partition"))
 
     // distinct: ALTER events can be wire-duplicated like any other event;
     // a duplicate must not shift segment numbering or add empty epochs
     val alters = events.filter(col("op") === "ALTER")
-      .select((col("offset") * nP + col("partition")).as("g"), col("alterJson"))
+      .select(col("offset"), col("partition"), col("alterJson"))
       .distinct()
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2)))
+      .sortBy(_._1)
 
-    var lo = Long.MinValue
+    var lo: Option[(Long, Int)] = None
     var seg = 0
-    def mergeSegment(hi: Long): Unit = {
-      val slice = events.filter(col("op") =!= "ALTER" && g > lo &&
-        (if (hi == Long.MaxValue) lit(true) else g < hi))
+    def bound(p: (Long, Int)) = struct(lit(p._1), lit(p._2))
+    def mergeSegment(hi: Option[(Long, Int)]): Unit = {
+      val slice = events.filter(col("op") =!= "ALTER"
+        && lo.map(b => g > bound(b)).getOrElse(lit(true))
+        && hi.map(b => g < bound(b)).getOrElse(lit(true)))
       Merge(spark, tableDir, slice, s"$epochPrefix.$seg", nSalts)
       seg += 1
     }
     alters.foreach { case (pos, json) =>
-      mergeSegment(pos)
-      SchemaEvolution(tableDir, json, s"$epochPrefix.alter.$pos")
-      lo = pos
+      mergeSegment(Some(pos))
+      SchemaEvolution(tableDir, json, s"$epochPrefix.alter.${pos._1}-${pos._2}")
+      lo = Some(pos)
     }
-    mergeSegment(Long.MaxValue)
+    mergeSegment(None)
     seg
   }
 }

@@ -93,9 +93,15 @@ object Pipeline {
         SchemaEvolution(cfg.tableDir, r.getString(2), s"stream.$epochId.alter.$k")
       }
 
-      // 2. dedup once; reuse for lineage stats AND the merge
+      // 2. one action over the raw batch: per-partition consumed offset
+      //    ranges + counts (lineage's gapless-cover invariant is over the
+      //    RAW range; rows_applied comes from the merge result below)
       val data = batch.filter(col("op") =!= "ALTER")
-      val eventsIn = data.count()
+      val ranges = data.groupBy(col("partition"))
+        .agg(min("offset").as("lo"), max("offset").as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+      val eventsIn = ranges.map(_.getLong(3)).sum
       if (eventsIn == 0) return // nothing to commit; replay-safe no-op
       val deduped = Dedup.latestPerKey(data).cache()
       try {
@@ -104,23 +110,28 @@ object Pipeline {
           cfg.nSalts, preDeduped = true)
         inject("afterMerge")
 
-        // 3. lineage: one row per source partition of this batch. Derived
-        //    from the batch content (deterministic on replay), not from the
-        //    table diff — so a re-run after a crash commits identical rows.
+        // 3. lineage: one row per source partition of this batch, built
+        //    driver-side from already-collected stats (deterministic on
+        //    replay — derived from batch content, not the table diff)
         val snapshotId = IceLite.load(cfg.tableDir).snapshotId
-        // offset range = RAW consumed range (the gapless-cover invariant);
-        // rows_applied = post-dedup winners actually merged
-        val ranges = data.groupBy(col("partition"))
-          .agg(min("offset").as("min_offset"), max("offset").as("max_offset"))
-        val applied = deduped.groupBy(col("partition"))
-          .agg(count(lit(1)).as("rows_applied"))
-        val lineageDf = ranges
-          .join(applied, Seq("partition"), "left")
-          .na.fill(0L, Seq("rows_applied"))
-          .select(lit(epochId).as("epoch_id"), col("partition"),
-            col("min_offset"), col("max_offset"), col("rows_applied"),
-            lit(snapshotId).as("snapshot_id"),
-            current_timestamp().as("commit_ts"))
+        // applied counts come from the merge result when it ran, and are
+        // recomputed from the (identical) deduped batch when the merge was
+        // a no-op replay after a crash — lineage rows must not depend on
+        // whether THIS attempt or a previous one committed the table epoch
+        val appliedBy =
+          if (res.lineage.nonEmpty) {
+            res.lineage.map(l => l.partition -> l.rowsApplied).toMap
+          } else {
+            deduped.groupBy(col("partition")).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          }
+        import spark.implicits._
+        val lineageDf = ranges.map { r =>
+          (epochId, r.getInt(0), r.getLong(1), r.getLong(2),
+            appliedBy.getOrElse(r.getInt(0), 0L), snapshotId,
+            new java.sql.Timestamp(System.currentTimeMillis()))
+        }.toSeq.toDF("epoch_id", "partition", "min_offset", "max_offset",
+          "rows_applied", "snapshot_id", "commit_ts")
         IceLite.append(spark, cfg.lineageDir, s"stream.$epochId", lineageDf)
         inject("afterLineage")
 

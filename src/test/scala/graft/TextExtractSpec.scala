@@ -45,6 +45,38 @@ class TextExtractSpec extends AnyFunSuite {
     assert(TextExtract.extract(null) == null)
   }
 
+  test("differential: scanner implementation == original regex formulation") {
+    // the rules were first written as this regex chain; the shipping
+    // scanner must agree byte-for-byte on every input we can generate
+    def reference(html: Array[Byte]): String = {
+      val scriptStyle = "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
+      val comments = "(?s)<!--.*?-->".r
+      val tags = "<[^>]*>".r
+      val ws = "\\s+".r
+      val s0 = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+      val s3 = tags.replaceAllIn(
+        comments.replaceAllIn(scriptStyle.replaceAllIn(s0, " "), " "), " ")
+      val s4 = s3.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+        .replace("&nbsp;", " ").replace("&amp;", "&")
+      ws.replaceAllIn(s4, " ").trim
+    }
+    val cfg = graft.sources.Ledger.Config(seed = 13)
+    val gens = (0 until 300).map(i =>
+      graft.sources.Ledger.makeHtml(cfg, s"https://d.example.com/$i", i.toLong))
+    val tricky = Seq(
+      "<script>unclosed", "<!-- unclosed", "a < b > c", "<scriptx>keep</scriptx>",
+      "<script >x</script >done", "<STYLE a='>'>gone</style>kept",
+      "<script>a<!-- </script> -->b</script>", "&&amp;", "&amp;amp;",
+      "< script>not a block</script>", "x<>y", "a&unknown;b",
+      "<script src=x>a</script><p>b</p><script>c</script>d")
+      .map(_.getBytes(UTF_8))
+    (gens ++ tricky ++ golden.map(_._1.getBytes(UTF_8))).foreach { h =>
+      assert(TextExtract.extract(h) == reference(h),
+        s"differential mismatch on: ${new String(h, UTF_8).take(120)}")
+    }
+  }
+
   test("determinism: same bytes, same text, every time") {
     val html = graft.sources.Ledger.makeHtml(
       graft.sources.Ledger.Config(seed = 7), "https://x.example.com/1", 123L)
