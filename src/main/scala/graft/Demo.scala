@@ -28,7 +28,7 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = Ledger.Config(nEvents = n,
+    val cfg = Ledger.Config(nEvents = n, malformedRate = 0.02,
       alterAt = alter.map(p => p -> Ledger.addColumnJson("fetch_ms", "long")).toMap)
     val ledger = s"$work/ledger"
     val table = s"$work/pages"
@@ -37,14 +37,25 @@ object Demo {
       Ledger.synthesize(spark, cfg, ledger)
     }
     val t1 = System.nanoTime()
+    val dlq = s"$work/_dlq"
     val mode = if (streaming) {
       Pipeline.runToCompletion(spark, Pipeline.Config(
         ledgerDir = ledger, tableDir = table,
         checkpointDir = s"$work/checkpoint", lineageDir = s"$work/_lineage",
-        metricsDir = s"$work/_metrics"))
+        metricsDir = s"$work/_metrics", dlqDir = Some(dlq)))
       "streamed"
-    } else s"replayed ${Replay.full(spark, ledger, table)} segment(s)"
+    } else {
+      val segs = Replay.full(spark, ledger, table, dlqDir = Some(dlq))
+      s"replayed $segs segment(s)"
+    }
     val t2 = System.nanoTime()
+    if (IceLite.exists(dlq)) {
+      println(s"=== dlq: ${IceLite.read(spark, dlq).count()} malformed events")
+    }
+    val compacted = graft.operators.Maintenance.compact(
+      spark, table, "demo-compact", maxFilesPerBucket = 2)
+    println(s"=== maintenance: compacted $compacted bucket(s); " +
+      s"files now ${IceLite.load(table).files.size}")
 
     val m = IceLite.load(table)
     val live = IceLite.read(spark, table)

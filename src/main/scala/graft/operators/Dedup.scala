@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * the total order `(warc_ts, offset, partition)` — partition as final
   * tie-break makes the order total even across source partitions.
   *
-  * Implementation is a single hash aggregation (`groupBy(url).max_by`), NOT
-  * a window: Catalyst plans it as partial + final HashAggregate with
-  * map-side combine, so at 10^10 events the shuffle carries one candidate
-  * row per (url × map-task) instead of every event — and wire duplicates
+  * Implementation is a single aggregation (`groupBy(url).max_by`), NOT a
+  * window: Catalyst plans partial + final aggregation with map-side
+  * combine, so at 10^10 events the shuffle carries one candidate row per
+  * (url × map-task) instead of every event — and wire duplicates
   * (identical copies) collapse for free since `max_by` is duplicate-
   * insensitive. A `row_number()` window would shuffle + sort the full
-  * batch instead.
+  * batch instead. (Plan note, verified with explain("formatted"): the
+  * struct-typed max_by buffer is not hash-aggregable, so Catalyst picks
+  * SortAggregate — the map-side per-partition sort is parallel CPU; the
+  * shuffle-volume win over a window is unchanged.)
   */
 object Dedup {
 

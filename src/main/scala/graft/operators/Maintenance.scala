@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.icelite.IceLite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table maintenance — the operations a 100 TB lake table needs to stay
+  * healthy under continuous micro-batch ingest:
+  *
+  *  - [[compact]]: copy-on-write MERGE appends ≤ nSalts files per touched
+  *    bucket per epoch; thousands of epochs → small-file explosion. Rewrite
+  *    buckets whose file count exceeds a threshold into one file set.
+  *  - [[expireTombstones]]: deletes are retained as tombstones so a delete
+  *    masks later-arriving OLDER events. Once the event-time watermark has
+  *    passed a tombstone's warc_ts by more than the source's maximum
+  *    disorder, no masked event can still arrive — the tombstone is dead
+  *    weight and can be dropped.
+  *  - [[expireSnapshots]]: every commit keeps superseded data files
+  *    reachable for time travel; expiration deletes metadata versions older
+  *    than the retained window plus any data file only they reference.
+  *
+  * All three are ordinary epoch-keyed commits: idempotent, atomic, safe to
+  * re-run after a crash.
+  */
+object Maintenance {
+
+  /** Rewrite every bucket with more than `maxFilesPerBucket` live files.
+    * Returns the number of buckets compacted.
+    */
+  def compact(spark: SparkSession, dir: String, epochKey: String,
+      maxFilesPerBucket: Int = 4): Int = {
+    val m = IceLite.load(dir)
+    if (m.epochLog.contains(epochKey)) return 0
+    val crowded = m.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
+      .keySet
+    if (crowded.isEmpty) return 0
+    val rows = IceLite.readInternal(spark, dir, buckets = Some(crowded))
+      .withColumn("_bucket",
+        graft.functions.Salt.bucket(col(m.currentSchema.fields.head.name),
+          m.numBuckets))
+    val staged = IceLite.stageFiles(dir, epochKey,
+      rows.repartition(col("_bucket")), bucketCol = Some("_bucket"),
+      schemaId = m.currentSchemaId)
+    IceLite.commit(dir, epochKey, "compact", newFiles = staged,
+      replacedBuckets = crowded)
+    crowded.size
+  }
+
+  /** Drop tombstones whose event time is older than `olderThan`.
+    * CONTRACT: only safe when `olderThan` is at least the source's maximum
+    * event-time disorder behind the newest applied event — a masked late
+    * arrival after that would resurrect a deleted url.
+    */
+  def expireTombstones(spark: SparkSession, dir: String, epochKey: String,
+      olderThan: java.sql.Timestamp): Long = {
+    val m = IceLite.load(dir)
+    if (m.epochLog.contains(epochKey)) return 0L
+    val tsName = m.currentSchema.fields(1).name
+    val all = IceLite.readInternal(spark, dir)
+      .withColumn("_bucket",
+        graft.functions.Salt.bucket(col(m.currentSchema.fields.head.name),
+          m.numBuckets))
+    val expired = col("_deleted") && col(tsName) < lit(olderThan)
+    val dropped = all.filter(expired).count()
+    if (dropped == 0) return 0L
+    val staged = IceLite.stageFiles(dir, epochKey,
+      all.filter(!expired).repartition(col("_bucket")),
+      bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
+    IceLite.commit(dir, epochKey, "expire-tombstones", newFiles = staged,
+      replacedBuckets = m.files.map(_.bucket).toSet)
+    dropped
+  }
+
+  /** Delete metadata versions older than the newest `keepVersions`, plus
+    * every data file referenced ONLY by expired versions. Returns
+    * (metadata deleted, data files deleted).
+    */
+  def expireSnapshots(dir: String, keepVersions: Int = 3): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    val current = IceLite.currentVersion(dir)
+    val cutoff = current - math.max(1, keepVersions) + 1
+    val keptFiles = (cutoff to current).flatMap { v =>
+      try IceLite.loadVersion(dir, v).files.map(_.path) catch {
+        case _: Throwable => Nil
+      }
+    }.toSet
+    var metaDeleted = 0
+    var dataDeleted = 0
+    var v = cutoff - 1
+    while (v >= 1) {
+      val mp = Paths.get(dir, "metadata", s"v$v.metadata.json")
+      if (Files.exists(mp)) {
+        IceLite.loadVersion(dir, v).files.foreach { f =>
+          if (!keptFiles.contains(f.path) &&
+              Files.deleteIfExists(Paths.get(f.path))) {
+            dataDeleted += 1
+          }
+        }
+        Files.delete(mp)
+        metaDeleted += 1
+      }
+      v -= 1
+    }
+    (metaDeleted, dataDeleted)
+  }
+}

@@ -18,13 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Replay {
 
-  /** Replay a ledger directory into `tableDir`. Returns the segment count. */
+  /** Replay a ledger directory into `tableDir`. Returns the segment count.
+    * Malformed events are routed to the `dlqDir` sidecar table (when set)
+    * under the SAME validity rule as the streaming path.
+    */
   def full(spark: SparkSession, ledgerDir: String, tableDir: String,
-      nBuckets: Int = 32, epochPrefix: String = "replay", nSalts: Int = 4): Int = {
+      nBuckets: Int = 32, epochPrefix: String = "replay", nSalts: Int = 4,
+      dlqDir: Option[String] = None): Int = {
     if (!IceLite.exists(tableDir)) {
       IceLite.create(tableDir, Model.pagesSchema, nBuckets)
     }
-    val events = Ledger.scan(spark, ledgerDir)
+    val raw = Ledger.scan(spark, ledgerDir)
+    dlqDir.foreach { dq =>
+      IceLite.append(spark, dq, s"$epochPrefix.dlq",
+        Validate.invalid(raw).dropDuplicates("partition", "offset"))
+    }
+    val events = Validate.valid(raw)
     // total order across partitions: (offset, partition) lexicographic —
     // needs no "how many partitions" pre-query (one less Spark action)
     def g = struct(col("offset"), col("partition"))

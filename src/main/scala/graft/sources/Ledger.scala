@@ -35,6 +35,7 @@ object Ledger {
       segments: Int = 4,
       duplicateRate: Double = 0.05,
       deleteRate: Double = 0.05,
+      malformedRate: Double = 0.0,
       outOfOrderLagMs: Int = 600000,
       zipfSkew: Double = 1.2,
       htmlParagraphs: Int = 6,
@@ -70,6 +71,11 @@ object Ledger {
       case Some(json) =>
         ChangeEvent(partition, offset, "ALTER", null,
           new java.sql.Timestamp(baseEpochMs + i * 1000L), null, null, json,
+          Map.empty)
+      case None if Det.uniform(cfg.seed, i, 9) < cfg.malformedRate =>
+        // broken wire event: no key — must land in the DLQ, not the table
+        ChangeEvent(partition, offset, "U", null,
+          new java.sql.Timestamp(baseEpochMs + i * 1000L), null, null, null,
           Map.empty)
       case None =>
         val domain = Det.zipfPick(domainCdf, Det.uniform(cfg.seed, i, 1))

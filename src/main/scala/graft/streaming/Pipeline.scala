@@ -42,6 +42,12 @@ object Pipeline {
       nSalts: Int = 4,
       watermarkDelay: String = "2 hours",
       maxFilesPerTrigger: Int = 8,
+      /** dead-letter sidecar table for malformed events (None = drop) */
+      dlqDir: Option[String] = None,
+      /** RocksDB state store for the dedup state — the right choice when
+        * keys-in-watermark exceed executor heap (10^10-event tails);
+        * default HDFS-backed store is fine for tests */
+      useRocksDB: Boolean = false,
       /** test hook: throw at (epochId, point); point ∈ {beforeMerge,
         * afterMerge, afterLineage} — the M5 kill/restart fault injection */
       failAt: Option[(Long, String)] = None)
@@ -53,6 +59,10 @@ object Pipeline {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     if (!IceLite.exists(cfg.tableDir)) {
       IceLite.create(cfg.tableDir, Model.pagesSchema, cfg.nBuckets)
+    }
+    if (cfg.useRocksDB) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
     val stream = Ledger.tail(spark, cfg.ledgerDir, cfg.maxFilesPerTrigger)
       .withWatermark("warc_ts", cfg.watermarkDelay)
@@ -82,9 +92,16 @@ object Pipeline {
     }
     val batch = df.cache()
     try {
+      // 0. dead-letter routing, same validity rule as batch replay
+      cfg.dlqDir.foreach { dq =>
+        IceLite.append(spark, dq, s"stream.$epochId.dlq",
+          graft.operators.Validate.invalid(batch))
+      }
+      val okEvents = graft.operators.Validate.valid(batch)
+
       // 1. schema evolution, ordered by global position, deduped (ALTER
       //    events can be wire-duplicated like any event)
-      val alters = batch.filter(col("op") === "ALTER")
+      val alters = okEvents.filter(col("op") === "ALTER")
         .select(col("offset"), col("partition"), col("alterJson"))
         .distinct()
         .collect()
@@ -96,7 +113,7 @@ object Pipeline {
       // 2. one action over the raw batch: per-partition consumed offset
       //    ranges + counts (lineage's gapless-cover invariant is over the
       //    RAW range; rows_applied comes from the merge result below)
-      val data = batch.filter(col("op") =!= "ALTER")
+      val data = okEvents.filter(col("op") =!= "ALTER")
       val ranges = data.groupBy(col("partition"))
         .agg(min("offset").as("lo"), max("offset").as("hi"),
           count(lit(1)).as("n"))
