@@ -86,7 +86,8 @@ object Merge {
             .cast(f.dataType).as(f.name)
         case `textFieldId` =>
           when(isDelete, lit(null).cast(StringType))
-            .otherwise(TextExtract.extract_text(col("html"))).as(f.name)
+            .otherwise(graft.functions.ExtractTextExpression
+              .extract_text(col("html"))).as(f.name)
         case _ =>
           when(isDelete, lit(null).cast(f.dataType))
             .otherwise(element_at(col("extra"), f.name).cast(f.dataType))
