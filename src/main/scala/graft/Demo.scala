@@ -20,6 +20,7 @@ object Demo {
     val alter = if (pos.length > 2) Some(pos(2).toLong) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .withExtensions(new GraftExtensions)
       .appName("thorspark-demo")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -56,6 +57,11 @@ object Demo {
       spark, table, "demo-compact", maxFilesPerBucket = 2)
     println(s"=== maintenance: compacted $compacted bucket(s); " +
       s"files now ${IceLite.load(table).files.size}")
+    // SparkSessionExtensions path: extract_text injected by GraftExtensions
+    val sqlText = spark.sql(
+      "SELECT extract_text(CAST('<b>ext &amp; ok</b>' AS BINARY)) AS t")
+      .head().getString(0)
+    println(s"=== extensions: SQL extract_text -> '$sqlText'")
 
     val m = IceLite.load(table)
     val live = IceLite.read(spark, table)

@@ -34,11 +34,11 @@ case class ExtractTextExpression(child: Expression) extends UnaryExpression {
   override def prettyName: String = "extract_text"
 
   override protected def nullSafeEval(input: Any): Any =
-    ExtractTextExpression.eval(input.asInstanceOf[Array[Byte]])
+    ExtractTextExpression.evalBytes(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ExtractTextExpression.eval($c)")
+      s"graft.functions.ExtractTextExpression.evalBytes($c)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : ExtractTextExpression = copy(child = newChild)
@@ -46,8 +46,13 @@ case class ExtractTextExpression(child: Expression) extends UnaryExpression {
 
 object ExtractTextExpression {
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def eval(bytes: Array[Byte]): UTF8String =
+  /** Static entry point shared by interpreted eval and generated code.
+    * NOT named `eval`: the case class inherits `eval(InternalRow)`, and a
+    * same-named companion method suppresses the static forwarder Janino
+    * needs — the clash makes every generated call fail and silently fall
+    * back to interpreted mode (caught by the fallback=false spec).
+    */
+  def evalBytes(bytes: Array[Byte]): UTF8String =
     UTF8String.fromString(TextExtract.extract(bytes))
 
   /** Column form — the engine's hot-path extractor. (Spark 4's `Column`

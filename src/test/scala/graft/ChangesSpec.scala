@@ -1,0 +1,54 @@
+package graft
+
+import graft.icelite.IceLite
+import graft.model.ChangeEvent
+import graft.operators.{Changes, Merge}
+import org.apache.spark.sql.functions._
+
+/** Incremental CDC read + SparkSessionExtensions registration. */
+class ChangesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(off: Long, op: String, url: String, ts: Long,
+      body: String): ChangeEvent =
+    ChangeEvent(0, off, op, url, new java.sql.Timestamp(ts),
+      if (op == "D") null else body.getBytes("UTF-8"), "en", null, Map.empty)
+
+  test("changes between snapshots classify insert/update/delete exactly") {
+    val table = tmpDir("chg")
+    IceLite.create(table, graft.model.Model.pagesSchema, 4)
+    val u = (i: Int) => s"https://c.example.com/$i"
+    Merge(spark, table, Seq(
+      ev(0, "I", u(1), 1000, "<p>one</p>"),
+      ev(1, "I", u(2), 1000, "<p>two</p>"),
+      ev(2, "I", u(3), 1000, "<p>three</p>")).toDF(), "b1")
+    val v1 = IceLite.currentVersion(table)
+    Merge(spark, table, Seq(
+      ev(3, "U", u(2), 2000, "<p>two-v2</p>"), // update
+      ev(4, "D", u(3), 2000, ""),              // delete
+      ev(5, "I", u(4), 2000, "<p>four</p>"),   // insert
+      ev(6, "U", u(1), 500, "<p>stale</p>")).toDF(), "b2") // older: no-op
+    val got = Changes.between(spark, table, v1)
+      .select(col("url"), col("change_type"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((u(2), "update"), (u(3), "delete"), (u(4), "insert")))
+    // updated row carries the new payload
+    val updText = Changes.between(spark, table, v1)
+      .filter(col("change_type") === "update").head().getAs[String]("text")
+    assert(updText == "two-v2")
+    // self-diff is empty
+    assert(Changes.between(spark, table, IceLite.currentVersion(table)).isEmpty)
+  }
+
+  test("extract_text is SQL-callable after registration") {
+    // the SparkSessionExtensions path needs a FRESH session and is driven
+    // end-to-end by graft.Demo (first session of its JVM uses
+    // withExtensions(new GraftExtensions)); here we cover the runtime
+    // registration path on the shared test session
+    graft.functions.ExtractTextExpression.register(spark)
+    val out = spark.sql(
+      "SELECT extract_text(CAST('<i>ok &amp; fine</i>' AS BINARY)) AS t")
+      .head().getString(0)
+    assert(out == "ok & fine")
+  }
+}

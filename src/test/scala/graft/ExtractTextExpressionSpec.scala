@@ -18,7 +18,10 @@ class ExtractTextExpressionSpec extends SparkTestBase {
     val df = htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
       .toDF("id", "html")
     Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+      // fallback=false: a codegen compile error must FAIL the test, not
+      // silently interpret (this caught a missing static forwarder)
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
       try {
         val got = df.select(col("id"),
           ExtractTextExpression.extract_text(col("html")).as("t"))
@@ -26,7 +29,10 @@ class ExtractTextExpressionSpec extends SparkTestBase {
         htmls.zipWithIndex.foreach { case (h, i) =>
           assert(got(i.toLong) == TextExtract.extract(h), s"row $i mode $mode")
         }
-      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      } finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
     }
   }
 
