@@ -106,11 +106,32 @@ object Merge {
     // action): this is the 10^10-event full-replay bootstrap, where an
     // extra materialization of the whole corpus would double the cost.
     if (pre.files.isEmpty) {
-      val rows = deduped.select(valueCols ++ internals: _*)
+      // extract_text runs AFTER the salted shuffle: the exchange then
+      // carries only the html payload, not html+text (~40% fewer shuffle
+      // bytes), and the extraction CPU lands on the (salt-balanced)
+      // writer tasks
+      val textField = schema.fields.find(_.id == textFieldId)
+      val preShuffleCols = schema.fields.collect {
+        case f if f.id != textFieldId =>
+          valueCols(schema.fields.indexOf(f))
+      }
+      val rows = deduped.select(preShuffleCols ++ internals: _*)
         .withColumn("_bucket", Salt.bucket(col(urlName), nBuckets))
       val salted = rows.repartition(
         col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(nSalts.toLong)))
-      val staged = IceLite.stageFiles(tableDir, epochKey, salted,
+      val withText = textField match {
+        case Some(tf) =>
+          salted
+            .withColumn(tf.name, when(col("_deleted"), lit(null).cast(StringType))
+              .otherwise(graft.functions.ExtractTextExpression
+                .extract_text(col(schema.fields.find(_.id == 3)
+                  .map(_.name).getOrElse("html")))))
+            .select((schema.fields.map(f => col(f.name)) ++
+              IceLite.internalFields.map(f => col(f.name)) :+
+              col("_bucket")): _*)
+        case None => salted
+      }
+      val staged = IceLite.stageFiles(tableDir, epochKey, withText,
         bucketCol = Some("_bucket"), schemaId = schema.schemaId)
       val post = IceLite.commit(tableDir, epochKey, "merge",
         newFiles = staged, replacedBuckets = (0 until nBuckets).toSet)
