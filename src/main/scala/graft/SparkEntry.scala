@@ -362,6 +362,20 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => // no oracle: xxhash64 simhash
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4)),
 
+    "dedup_embedding" -> ((s, d) => {
+      // embedding-cosine near-dup pairs (exact; the LSH-bucketed scale
+      // path for this operator is ann_lsh — at 10^10 rows candidates come
+      // from hyperplane buckets, scored exactly inside the bucket)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", round(Similarity.cosine(col("a_v"), col("b_v")), 4))
+        .filter(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), col("cos"))
+    }),
+
     "ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         col("id") < 5, 3).withColumn("rank", col("rank").cast("long"))),
@@ -664,6 +678,16 @@ object SparkEntry {
                AS jaccard
            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT a_id, b_id, cos FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.4""",
 
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id,
