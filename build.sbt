@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default logger prefixes
+// every line with "[info] ", which made the driver's bench JSON unparseable
+// in round 1 (BENCH_r01.json parsed:null). Bench also writes the JSON line
+// to a file as belt-and-braces (SPARK_GRAFT_BENCH_OUT).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,16 +85,24 @@ object Bench {
     // absorb session/Hadoop/codegen init so the first query isn't charged
     spark0.read.parquet(s"$sfDir/region.parquet").count()
     val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    // A failed query is recorded as an explicit error (and null timing) so
+    // it can never masquerade as a fast one in the bench evidence.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+      if (skipQueries) Seq.empty[(String, Option[Double])]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var failed: Option[String] = None
         val sec = timed {
           try fn(spark0, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed = Some(Option(e.getMessage).getOrElse(e.toString).take(200))
+            System.err.println(s"[bench] $name failed: ${failed.get}")
           }
         }
-        name -> sec
+        failed match {
+          case Some(msg) => errors += (name -> msg); name -> None
+          case None => name -> Some(sec)
+        }
       }
 
     // ---- phase B: CDC replay scaling at N vs 4N parallelism -------------
@@ -114,10 +122,24 @@ object Bench {
         s"""{"events":$cdcEvents,"error":${jsonStr(e.toString.take(200))}}"""
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None) => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
+    val total = results.flatMap(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc":$cdc}"""
+    println(line)
+    // belt-and-braces: the stdout channel was lost to sbt log prefixes in
+    // round 1; persist the same line to a file the driver (or a human) can
+    // always recover
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
   }
 
   private def jsonStr(s: String): String =
@@ -160,14 +182,16 @@ object Bench {
     // efficiency: MEDIAN of per-rep PAIRED ratios — the two levels of one
     // rep run adjacent in time, so host-wide slowdowns hit both and cancel.
     // This sandbox's shared host shows multi-minute noise periods (kernel
-    // time on identical runs varies 4x); when the median still looks
-    // disturbed, take up to maxReps pairs. ALL per-rep ratios are emitted
-    // in the JSON so the spread is visible, not hidden.
+    // time on identical runs varies 4x); extra reps (up to maxReps) are
+    // triggered by a NOISE indicator — the relative spread of the paired
+    // ratios — never by where the median lands, so the stopping rule cannot
+    // bias the reported efficiency toward an acceptance band. ALL per-rep
+    // ratios are emitted in the JSON so the spread is visible, not hidden.
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     def ratios = pairs.map(p => p(scaleN * 4) / (4.0 * p(scaleN))).toSeq
+    def spread = (ratios.max - ratios.min) / math.max(median(ratios), 1e-9)
     (1 to baseReps).foreach(runPair)
-    while ((median(ratios) < 0.82 || median(ratios) > 1.1) &&
-        pairs.length < maxReps) {
+    while (spread > 0.5 && pairs.length < maxReps) {
       runPair(pairs.length + 1)
     }
     // throughput headline: best observed per level (least-disturbed run)

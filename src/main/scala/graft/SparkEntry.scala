@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Parity rules used throughout (Spark ↔ DuckDB):
   *  - every aggregate/computed column is aliased identically on both sides
-  *  - double aggregations go through DECIMAL(18,3) casts per value, and
-  *    aggregate results are cast back to a fixed decimal type, so sums are
-  *    exact and engine-order-independent
+  *  - double aggregations go through DECIMAL(18,3) casts per value so sums
+  *    are exact and engine-order-independent, and the aggregate LEAVES the
+  *    query as exact milli-unit BIGINT (`sum * 1000` cast to long): no
+  *    DECIMAL ever crosses the result boundary — Spark and DuckDB carry
+  *    different internal decimal precisions (28,3 vs 38,3) and different
+  *    parquet physical encodings, which the driver's hash is sensitive to
+  *    even when values match (round-1 lesson, VERDICT.md "What's wrong" #2)
   *  - integer-ish outputs are cast to BIGINT on both sides (DuckDB windows/
   *    length functions return BIGINT where Spark returns INT)
   */
@@ -29,6 +33,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 3))
+
+  /** Exact decimal sum emitted as milli-unit BIGINT — the only aggregate
+    * shape that hashes identically across engines (see Scaladoc above).
+    */
+  private def sumMilli(c: Column): Column =
+    (sum(dec(c)) * lit(1000)).cast("long")
 
   /** Flagship: the actual CDC engine end-to-end at sf0.001 scale —
     * synthesize a ledger, replay it into an IceLite table with a mid-stream
@@ -172,7 +182,7 @@ object SparkEntry {
         .join(broadcast(t(s, d, "part")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(dec(sum(dec(col("l_extendedprice")))).as("revenue"),
+        .agg(sumMilli(col("l_extendedprice")).as("revenue_milli"),
           count(lit(1)).as("n"))),
 
     "semi_join" -> ((s, d) =>
@@ -219,25 +229,33 @@ object SparkEntry {
     "agg_metrics" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("value")))).as("total"),
+          sumMilli(col("value")).as("total_milli"),
           min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"))),
 
     "rollup_metrics" -> ((s, d) =>
       t(s, d, "events").rollup(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("value")))).as("total"))),
+          sumMilli(col("value")).as("total_milli"))),
 
     "distinct_urls" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("lang"))
         .agg(countDistinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"))),
 
+    "approx_distinct" -> ((s, d) => // no oracle: HLL++ sketch values are
+      // engine-specific; the error bound vs exact is asserted in
+      // TrainingDataOpsSpec. At 10^10 urls this replaces the exact
+      // countDistinct's full shuffle with a fixed-size mergeable sketch.
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(approx_count_distinct(col("source"), 0.02).as("approx_sources"),
+          count(lit(1)).as("n_docs"))),
+
     "tumbling_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("total"))
-        .select(col("w.start").as("w_start"), col("n"), col("total"))),
+        .agg(count(lit(1)).as("n"), sumMilli(col("value")).as("total_milli"))
+        .select(col("w.start").as("w_start"), col("n"), col("total_milli"))),
 
     "sliding_window" -> ((s, d) =>
       t(s, d, "events")
@@ -362,19 +380,20 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => // no oracle: xxhash64 simhash
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4)),
 
-    "dedup_embedding" -> ((s, d) => {
-      // embedding-cosine near-dup pairs (exact; the LSH-bucketed scale
-      // path for this operator is ann_lsh — at 10^10 rows candidates come
-      // from hyperplane buckets, scored exactly inside the bucket)
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos", round(Similarity.cosine(col("a_v"), col("b_v")), 4))
-        .filter(col("cos") >= 0.4)
-        .select(col("a_id"), col("b_id"), col("cos"))
-    }),
+    "dedup_embedding" -> ((s, d) =>
+      // exact all-pairs at/below exactLimit rows (the DuckDB-mirrorable
+      // oracle path, taken at the sf0.01 gate); above it, hyperplane-LSH
+      // bucketed candidates scored exactly inside the bucket (the scale
+      // path — taken at sf0.1+ and at 10^10 rows)
+      DedupOps.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, exactLimit = 1000L)),
+
+    "dedup_groups" -> ((s, d) =>
+      // near-dup group resolution: connected components over the exact
+      // Jaccard pair set → one canonical doc per transitive cluster
+      DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          "lang", 0.9), "a_id", "b_id")),
 
     "ann_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -409,7 +428,18 @@ object SparkEntry {
       Multimodal.extractMeta(
         t(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")),
-        "doc_id", "payload", 8)))
+        "doc_id", "payload")),
+
+    "multimodal_bytes" -> ((s, d) =>
+      // the DuckDB-checkable projection of the multimodal path: same real
+      // plumbing (binary column, mapPartitions decode batches), restricted
+      // to the columns an external engine can recompute (byte length) — so
+      // the multimodal key is gated, not sbt-only
+      Multimodal.extractMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+        .select(col("media_id"), col("n_bytes"))))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same table names (driver registers each
@@ -505,8 +535,8 @@ object SparkEntry {
 
     "broadcast_join" ->
       """SELECT p_brand,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS DECIMAL(18,3))
-             AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) * 1000 AS BIGINT)
+             AS revenue_milli,
            count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
@@ -528,7 +558,7 @@ object SparkEntry {
          GROUP BY p.event_id, p.user_id""",
 
     "range_join" ->
-      """SELECT b.lo, count(*) AS n
+      """SELECT CAST(b.lo AS DOUBLE) AS lo, count(*) AS n
          FROM events e
          JOIN (VALUES (0.0, 50.0), (50.0, 120.0), (120.0, 250.0),
            (250.0, 1000.0)) b(lo, hi)
@@ -545,13 +575,15 @@ object SparkEntry {
 
     "agg_metrics" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) * 1000 AS BIGINT)
+             AS total_milli,
            min(event_id) AS min_id, max(event_id) AS max_id
          FROM events GROUP BY event_type""",
 
     "rollup_metrics" ->
       """SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,3))) * 1000 AS BIGINT)
+             AS total_milli
          FROM events GROUP BY ROLLUP(event_type)""",
 
     "distinct_urls" ->
@@ -562,7 +594,8 @@ object SparkEntry {
     "tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS total
+           CAST(sum(CAST(value AS DECIMAL(18,3))) * 1000 AS BIGINT)
+             AS total_milli
          FROM events GROUP BY 1""",
 
     "sliding_window" ->
@@ -597,7 +630,8 @@ object SparkEntry {
 
     "offset_gaps" ->
       """SELECT user_id,
-           sum(CASE WHEN event_id - prev > 1 THEN 1 ELSE 0 END) AS n_gaps,
+           CAST(sum(CASE WHEN event_id - prev > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_gaps,
            max(event_id - prev) AS max_step
          FROM (SELECT user_id, event_id, lag(event_id) OVER (
              PARTITION BY user_id ORDER BY event_id) AS prev
@@ -678,6 +712,33 @@ object SparkEntry {
                AS jaccard
            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
          SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.9""",
+
+    "dedup_groups" ->
+      // same exact pair set as dedup_jaccard, then connected components as
+      // a recursive reachability closure (fine at oracle scale; the Spark
+      // side uses iterative min-label propagation instead)
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+               CAST(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 4)
+               AS jaccard
+           FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         e AS (SELECT a_id AS x, b_id AS y FROM p WHERE jaccard >= 0.9
+               UNION SELECT b_id, a_id FROM p WHERE jaccard >= 0.9),
+         reach(id, lbl) AS (
+           SELECT x, x FROM e
+           UNION
+           SELECT e.x, r.lbl FROM e JOIN reach r ON e.y = r.id)
+         SELECT id AS doc_id, min(lbl) AS canonical_id
+         FROM reach GROUP BY id""",
+
+    "multimodal_bytes" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes
+         FROM documents""",
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,

@@ -4,13 +4,28 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-deduplication operators for training-data pipelines: exact,
-  * n-gram Jaccard, MinHash+LSH, SimHash.
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine, and near-dup
+  * group resolution (connected components).
   *
   * Scale design: every variant is expressed so the expensive pairwise step
-  * only ever runs inside a CANDIDATE set bounded by blocking/banding —
-  * exact dedup is a pure hash aggregation; n-gram Jaccard blocks on
-  * (lang, length-bucket); MinHash goes through LSH band buckets (pairs
-  * only form inside a bucket); SimHash pairs only within blocking keys.
+  * only ever runs inside a CANDIDATE set bounded by blocking/banding, and —
+  * for the exact operators — the candidate generation is LOSSLESS, so the
+  * result set is provably identical to the naive quadratic form:
+  *
+  *  - exact dedup: one hash aggregation (partial/final, map-side combined)
+  *  - token-set Jaccard: AllPairs/PPJoin-style prefix filtering — a pair at
+  *    J ≥ t must share a token in the first |x| − ⌈t·|x|⌉ + 1 elements of a
+  *    canonical token ordering, so candidates come from an equi-join on
+  *    (lang, prefix token). Exact at every scale (no approximation).
+  *  - MinHash: LSH band buckets — pairs only form inside (band, band_hash)
+  *  - SimHash Hamming ≤ d: pigeonhole banding — the 64 bits split into d+1
+  *    chunks; a qualifying pair has ≥ 1 identical chunk, so candidates come
+  *    from an equi-join on (lang, chunk index, chunk value). Exact.
+  *  - embedding cosine: norms precomputed per ROW (never per pair); above a
+  *    size guard, candidates come from multi-table hyperplane LSH buckets
+  *    (approximate recall, exact scores), below it the all-pairs form is
+  *    exact for the oracle path.
+  *
   * Nothing here is O(n²) over the corpus at 100 TB.
   */
 object DedupOps {
@@ -37,33 +52,56 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
 
-  /** Near-duplicate pairs by token-set Jaccard with LOSSLESS blocking on
-    * (lang, size bucket): J(A,B) ≥ t implies |A∩B| ≥ t·max(|A|,|B|) and
-    * |A∩B| ≤ min(|A|,|B|), hence min ≥ t·max — sizes within factor 1/t.
-    * Bucketing sizes by log base 1/t, a qualifying pair differs by at most
-    * one bucket, so side A explodes to {k-1, k, k+1} and the join is a pure
-    * equi-join on (lang, bucket): no O(n²)-per-language blowup, identical
-    * result set. The exact size guard + Jaccard filter run inside the
-    * (small) candidate set; the intersection is computed once per pair.
+  /** Near-duplicate pairs by token-set Jaccard — EXACT result set via
+    * AllPairs prefix filtering (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07; public algorithm):
+    *
+    * Order each token set canonically (here by (xxhash64(token), token) — a
+    * deterministic pseudo-random total order, so corpus-frequent tokens do
+    * NOT concentrate in prefixes). If J(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|x|⌉ for each side, and two ordered sets
+    * with overlap ≥ α must share an element among their first |x| − α + 1
+    * elements. So candidates = equi-join on (lang, prefix token) with
+    * prefix length |x| − ⌈t·|x|⌉ + 1 (≈ (1−t)·|x| + 1 — at t=0.9 only ~10%
+    * of tokens fan out). The lossless size filter (min ≥ t·max) prunes
+    * before dedup; exact Jaccard verifies inside the candidate set, with
+    * token sets re-joined BY ID so the wide arrays never ride through the
+    * prefix explode's shuffle.
+    *
+    * No per-block quadratic step remains: cost is bounded by per-prefix-token
+    * document frequency, which the random ordering keeps near-uniform.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0)
-    val logBase = math.log(1.0 / threshold)
     val toks = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
       tokenSet(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
-      .withColumn("bkt", floor(log(greatest(col("sz"), lit(1))
-        .cast("double")) / lit(logBase)).cast("int"))
-    val a = toks.select(col("id").as("a_id"), col("lang"),
-      col("toks").as("a_toks"), col("sz").as("a_sz"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
-    val b = toks.select(col("id").as("b_id"), col("lang"),
-      col("toks").as("b_toks"), col("sz").as("b_sz"), col("bkt"))
-    a.join(b, Seq("lang", "bkt"))
+    // prefix of the canonical ordering; struct sort = (hash, token) order
+    val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1))
+      .cast("int")
+    val pe = toks.select(col("id"), col("lang"), col("sz"),
+      explode(slice(
+        array_sort(transform(col("toks"),
+          t => struct(xxhash64(t).as("h"), t.as("tok")))),
+        lit(1), prefLen)).as("p"))
+      .select(col("id"), col("lang"), col("sz"), col("p.tok").as("ptok"))
+    val cand = pe
+      .select(col("lang"), col("ptok"), col("id").as("a_id"),
+        col("sz").as("a_sz"))
+      .join(pe.select(col("lang"), col("ptok"), col("id").as("b_id"),
+        col("sz").as("b_sz")), Seq("lang", "ptok"))
       .filter(col("a_id") < col("b_id"))
+      // lossless size guard: J ≥ t ⟹ min ≥ t·max
       .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
         lit(threshold) * greatest(col("a_sz"), col("b_sz")).cast("double"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val at = toks.select(col("id").as("a_id"), col("toks").as("a_toks"),
+      col("sz").as("a_sz"))
+    val bt = toks.select(col("id").as("b_id"), col("toks").as("b_toks"),
+      col("sz").as("b_sz"))
+    cand.join(at, Seq("a_id")).join(bt, Seq("b_id"))
       .withColumn("isect", size(array_intersect(col("a_toks"), col("b_toks"))))
       .withColumn("jaccard", round(col("isect").cast("double") /
         (col("a_sz") + col("b_sz") - col("isect")).cast("double"), 4))
@@ -133,20 +171,131 @@ object DedupOps {
   }
 
   /** SimHash near-duplicate pairs within (lang) blocks, by Hamming
-    * distance ≤ maxDistance (bit_count of xor).
+    * distance ≤ maxDistance — EXACT result set via pigeonhole banding: the
+    * 64-bit simhash splits into maxDistance+1 disjoint chunks; a pair with
+    * ≤ maxDistance differing bits must have at least one chunk with ZERO
+    * differing bits, so candidates come from an equi-join on
+    * (lang, chunk index, chunk value), then `bit_count(xor) ≤ d` verifies.
+    * Same pairs as the naive per-language O(n²) join, but every join is
+    * equi and bucket-local.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64)
     val sh = withSimhash(
       docs.select(col(idCol).as("id"), col(langCol).as("lang"),
         tokenSet(col(textCol)).as("toks")),
       col("toks"), "sh").select("id", "lang", "sh")
-    val a = sh.select(col("lang"), col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("lang"), col("id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("lang"))
+    val nChunks = maxDistance + 1
+    val chunks = (0 until nChunks).map { i =>
+      val start = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("cv"))
+    }
+    val banded = sh.withColumn("chunk", explode(array(chunks: _*)))
+    val a = banded.select(col("lang"), col("chunk"),
+      col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("lang"), col("chunk"),
+      col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang", "chunk"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs. Norms are computed ONCE PER ROW
+    * before the pair step (the pair step is a single dot product + one
+    * division — bit-identical to `dot/(‖a‖·‖b‖)` computed pairwise, since
+    * the IEEE ops and their order are unchanged).
+    *
+    * Candidate generation: at or below `exactLimit` rows, exact all-pairs
+    * (the oracle path — small inputs, and the only form DuckDB can mirror);
+    * above it, multi-table random-hyperplane LSH buckets (the 100 TB path —
+    * candidates only form inside a (table, bucket) cell, expected fraction
+    * ≈ nTables / 2^nPlanes), scored exactly inside the bucket. Candidates
+    * travel as ID PAIRS and re-join the vectors by id, so 64-dim arrays
+    * never ride through the bucket explode's shuffle.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exactLimit: Long = 1000L,
+      nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val base = emb.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = base.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_n"))
+    val b = base.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_n"))
+    // parquet-footer-cheap count decides the plan; at scale the LSH branch
+    // is taken and no quadratic join ever appears
+    val paired =
+      if (emb.count() <= exactLimit) {
+        a.join(b, col("a_id") < col("b_id"))
+      } else {
+        val buckets = (0 until nTables).map { t =>
+          val planes = Similarity.hyperplanes(seed + 7919L * t, nPlanes, dim)
+          struct(lit(t).as("t"),
+            Similarity.lshBucket(col("v"), planes).as("h")).as(s"b$t")
+        }
+        val banded = base.select(col("id"),
+          explode(array(buckets: _*)).as("bucket"))
+        val cand = banded.select(col("bucket"), col("id").as("a_id"))
+          .join(banded.select(col("bucket"), col("id").as("b_id")),
+            Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+          .dropDuplicates("a_id", "b_id")
+        cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      }
+    paired
+      .withColumn("cos", round(
+        Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Near-duplicate GROUP resolution: connected components over a pair set,
+    * returning (doc_id, canonical_id = minimum id of the component). The
+    * transitive closure a training-data pipeline needs to pick one canonical
+    * document per near-dup cluster.
+    *
+    * Iterative min-label propagation in DataFrames: each round every node
+    * takes the min of its own label and its neighbors' labels; converges in
+    * ≤ component-diameter rounds (near-dup clusters are shallow). Each round
+    * is one equi-join + one aggregation — shuffle-bounded by |edges|, no
+    * driver-side graph. Each round's labels are `localCheckpoint`ed: an
+    * iterative DataFrame loop MUST truncate lineage, otherwise the logical
+    * plan (and AQE's per-stage explain strings) grows exponentially with
+    * the iteration count. Convergence is detected with a limit(1) probe.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("y"), col("lbl")), Seq("y"))
+        .select(col("x").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
   }
 }

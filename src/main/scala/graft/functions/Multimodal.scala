@@ -59,14 +59,19 @@ object Multimodal {
 
   /** End-to-end shape over a DataFrame with (idCol: long, binCol: binary):
     * repartition to bound batch memory (binary rows are wide), decode, and
-    * return columnar metadata.
+    * return columnar metadata. Partition count defaults to the session's
+    * parallelism (cluster-sized, never a hard-wired single-digit literal);
+    * pass `partitions` explicitly when batch memory must be bounded tighter
+    * (payload bytes per task ≈ input bytes / partitions).
     */
   def extractMeta(df: DataFrame, idCol: String, binCol: String,
-      partitions: Int): DataFrame = {
+      partitions: Option[Int] = None): DataFrame = {
     import df.sparkSession.implicits._
+    val nParts = partitions.getOrElse(
+      df.sparkSession.sparkContext.defaultParallelism)
     val typed = df.select(col(idCol).cast("long"), col(binCol))
       .na.drop(Seq(binCol))
-      .repartition(partitions)
+      .repartition(nParts)
       .as[(Long, Array[Byte])]
     decodeMeta(typed).toDF()
   }

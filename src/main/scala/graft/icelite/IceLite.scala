@@ -62,8 +62,43 @@ object IceLite {
       schemas: Seq[Schema],
       files: Seq[DataFileEntry],
       epochLog: Set[String],
+      epochHwm: Map[String, Long],
       committedAtMs: Long) {
     def currentSchema: Schema = schemas.find(_.schemaId == currentSchemaId).get
+
+    /** True iff `key` was already committed. Numeric-suffixed keys
+      * (`<prefix>.<n>`) are folded into a per-prefix HIGH-WATER MARK
+      * instead of being stored individually, so per-commit metadata stays
+      * O(live files + prefixes) after 10^6 micro-batches — the same
+      * compaction a Flink→Iceberg committer does by storing only the last
+      * committed checkpoint id per writer.
+      *
+      * CONTRACT (holds for every producer in this engine): within one
+      * prefix, epochs are committed in non-decreasing numeric order, and a
+      * recovery only ever re-attempts the LAST epochs (Structured
+      * Streaming's offsets/commits WAL guarantees batch ids are monotone
+      * and at most the tail batch re-runs; Replay's segments run 0..k in
+      * order from the start). Under that contract, n ≤ hwm(prefix) ⟺
+      * the epoch's effects are already in the table.
+      */
+    def committedEpoch(key: String): Boolean =
+      epochLog.contains(key) || splitNumericSuffix(key).exists {
+        case (p, n) => epochHwm.get(p).exists(_ >= n)
+      }
+  }
+
+  /** `"a.b.7"` → `("a.b", 7)`; None when the last dot-segment isn't a
+    * plain decimal number (or is too long to be a Long).
+    */
+  private[graft] def splitNumericSuffix(key: String): Option[(String, Long)] = {
+    val i = key.lastIndexOf('.')
+    if (i <= 0 || i == key.length - 1) None
+    else {
+      val suf = key.substring(i + 1)
+      if (suf.forall(_.isDigit) && suf.length <= 18)
+        Some((key.substring(0, i), suf.toLong))
+      else None
+    }
   }
 
   // ---------------------------------------------------------------- JSON
@@ -94,7 +129,9 @@ object IceLite {
         "bucket" -> JInt(f.bucket),
         "schemaId" -> JInt(f.schemaId),
         "rows" -> JLong(f.rows)))),
-      "epochLog" -> JArray(m.epochLog.toList.sorted.map(JString(_))))
+      "epochLog" -> JArray(m.epochLog.toList.sorted.map(JString(_))),
+      "epochHwm" -> JObject(m.epochHwm.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JLong(v): JValue) }))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -121,11 +158,16 @@ object IceLite {
       DataFileEntry(str(fo("path")), num(fo("bucket")).toInt,
         num(fo("schemaId")).toInt, num(fo("rows")))
     }
+    val hwm = o.get("epochHwm") match { // absent in icelite/1 files
+      case Some(JObject(kvs)) => kvs.map { case (k, v) => k -> num(v) }.toMap
+      case _ => Map.empty[String, Long]
+    }
     Metadata(
       num(o("version")).toInt, num(o("snapshotId")), num(o("parentSnapshotId")),
       str(o("epochKey")), str(o("operation")), num(o("currentSchemaId")).toInt,
       num(o("numBuckets")).toInt, schemas, files,
       o("epochLog").asInstanceOf[JArray].arr.map(str).toSet,
+      hwm,
       num(o("committedAtMs")))
   }
 
@@ -159,7 +201,7 @@ object IceLite {
     val m = Metadata(1, snapshotId = 1L, parentSnapshotId = 0L,
       epochKey = "create", operation = "create", currentSchemaId = 1,
       numBuckets = numBuckets, schemas = Seq(Schema(1, fields.toIndexedSeq)),
-      files = Nil, epochLog = Set("create"),
+      files = Nil, epochLog = Set("create"), epochHwm = Map.empty,
       committedAtMs = System.currentTimeMillis())
     writeMetadata(dir, m)
     m
@@ -167,7 +209,7 @@ object IceLite {
 
   /** True iff `epochKey` was already committed — the replay no-op check. */
   def hasEpoch(dir: String, epochKey: String): Boolean =
-    exists(dir) && load(dir).epochLog.contains(epochKey)
+    exists(dir) && load(dir).committedEpoch(epochKey)
 
   // ---------------------------------------------------------------- commit
 
@@ -185,11 +227,19 @@ object IceLite {
       replacedBuckets: Set[Int] = Set.empty,
       newSchema: Option[Schema] = None): Metadata = synchronized {
     val cur = load(dir)
-    if (cur.epochLog.contains(epochKey)) return cur
+    if (cur.committedEpoch(epochKey)) return cur
     val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
     val schemas = newSchema match {
       case Some(s) => cur.schemas :+ s
       case None => cur.schemas
+    }
+    // numeric-suffixed epochs fold into the per-prefix high-water mark
+    // (see Metadata.committedEpoch); everything else stays in the set
+    val (log2, hwm2) = splitNumericSuffix(epochKey) match {
+      case Some((p, n)) =>
+        (cur.epochLog,
+          cur.epochHwm + (p -> math.max(cur.epochHwm.getOrElse(p, -1L), n)))
+      case None => (cur.epochLog + epochKey, cur.epochHwm)
     }
     val m = Metadata(
       version = cur.version + 1,
@@ -201,7 +251,8 @@ object IceLite {
       numBuckets = cur.numBuckets,
       schemas = schemas,
       files = kept ++ newFiles,
-      epochLog = cur.epochLog + epochKey,
+      epochLog = log2,
+      epochHwm = hwm2,
       committedAtMs = System.currentTimeMillis())
     writeMetadata(dir, m)
     m

@@ -25,11 +25,19 @@ object Changes {
       toVersion: Option[Int] = None): DataFrame = {
     val to = toVersion.getOrElse(IceLite.currentVersion(dir))
     val key = IceLite.loadVersion(dir, to).currentSchema.fields.head.name
-    def keyed(v: Int, p: String) =
+    // key + event-time columns resolved PER VERSION by field id: a rename
+    // between the two snapshots must not break the diff (the read path
+    // reconciles each version to ITS OWN schema's names)
+    def keyed(v: Int, p: String) = {
+      val s = IceLite.loadVersion(dir, v).currentSchema
+      val keyName = s.fields.head.name
+      val tsName = s.fields.find(_.id == Merge.versionFieldId)
+        .getOrElse(sys.error(s"version field missing in v$v")).name
       IceLite.readInternal(spark, dir, Some(v))
-        .select(col(key).as(s"${p}_key"), col("warc_ts").as(s"${p}_ts"),
+        .select(col(keyName).as(s"${p}_key"), col(tsName).as(s"${p}_ts"),
           col("_offset").as(s"${p}_off"), col("_partition").as(s"${p}_part"),
           col("_deleted").as(s"${p}_del"))
+    }
     val a = keyed(fromVersion, "a")
     val b = keyed(to, "b")
     val joined = a.join(b, col("a_key") === col("b_key"), "full_outer")

@@ -30,7 +30,7 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String, epochKey: String,
       maxFilesPerBucket: Int = 4): Int = {
     val m = IceLite.load(dir)
-    if (m.epochLog.contains(epochKey)) return 0
+    if (m.committedEpoch(epochKey)) return 0
     val crowded = m.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
       .keySet
     if (crowded.isEmpty) return 0
@@ -54,20 +54,30 @@ object Maintenance {
   def expireTombstones(spark: SparkSession, dir: String, epochKey: String,
       olderThan: java.sql.Timestamp): Long = {
     val m = IceLite.load(dir)
-    if (m.epochLog.contains(epochKey)) return 0L
-    val tsName = m.currentSchema.fields(1).name
-    val all = IceLite.readInternal(spark, dir)
-      .withColumn("_bucket",
-        graft.functions.Salt.bucket(col(m.currentSchema.fields.head.name),
-          m.numBuckets))
+    if (m.committedEpoch(epochKey)) return 0L
+    val tsName = m.currentSchema.fields.find(_.id == Merge.versionFieldId)
+      .getOrElse(m.currentSchema.fields(1)).name
+    val keyName = m.currentSchema.fields.head.name
+    def withBucket(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_bucket",
+        graft.functions.Salt.bucket(col(keyName), m.numBuckets))
     val expired = col("_deleted") && col(tsName) < lit(olderThan)
-    val dropped = all.filter(expired).count()
+    // one aggregation action finds how many tombstones expire AND which
+    // buckets hold them — only THOSE buckets are read back and rewritten
+    // (at 100 TB a handful of buckets age out per run, not the whole table)
+    val stats = withBucket(IceLite.readInternal(spark, dir))
+      .filter(expired)
+      .agg(count(lit(1)).as("n"), collect_set(col("_bucket")).as("bks"))
+      .collect()(0)
+    val dropped = stats.getLong(0)
     if (dropped == 0) return 0L
+    val touched = stats.getSeq[Int](1).toSet
     val staged = IceLite.stageFiles(dir, epochKey,
-      all.filter(!expired).repartition(col("_bucket")),
+      withBucket(IceLite.readInternal(spark, dir, buckets = Some(touched)))
+        .filter(!expired).repartition(col("_bucket")),
       bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
     IceLite.commit(dir, epochKey, "expire-tombstones", newFiles = staged,
-      replacedBuckets = m.files.map(_.bucket).toSet)
+      replacedBuckets = touched)
     dropped
   }
 

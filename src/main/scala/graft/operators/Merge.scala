@@ -58,6 +58,14 @@ object Merge {
     Map(1 -> "url", 2 -> "warc_ts", 3 -> "html", 5 -> "lang")
   private val textFieldId = 4
 
+  /** Field id of the event-time (version) column. The merge condition
+    * resolves its TABLE-side name by this id — like every other column —
+    * so a renameColumn on it cannot break subsequent merges.
+    * (SchemaEvolution additionally refuses to DROP ids 1 and 2: the merge
+    * semantics need both.)
+    */
+  val versionFieldId = 2
+
   /** Apply one change batch to the table. `changes` is envelope-shaped with
     * op ∈ {I,U,D} (ALTERs are handled by SchemaEvolution before this).
     */
@@ -65,7 +73,7 @@ object Merge {
       epochKey: String, nSalts: Int = 4,
       preDeduped: Boolean = false): CommitResult = {
     val pre = IceLite.load(tableDir)
-    if (pre.epochLog.contains(epochKey)) {
+    if (pre.committedEpoch(epochKey)) {
       return CommitResult(epochKey, committed = false, pre.snapshotId,
         Set.empty, 0L, 0L, 0L, Nil)
     }
@@ -161,11 +169,15 @@ object Merge {
     val affected = statsRows.flatMap(_.getSeq[Int](5)).toSet
     val existing = IceLite.readInternal(spark, tableDir, buckets = Some(affected))
 
-    // conditional merge: newer (warc_ts, _offset, _partition) wins
+    // conditional merge: newer (event_time, _offset, _partition) wins —
+    // the event-time column resolved by field id (rename-safe)
+    val verName = schema.fields.find(_.id == versionFieldId)
+      .getOrElse(sys.error(s"version field id $versionFieldId missing"))
+      .name
     val c = newRows.select(newRows.columns.map(n => col(n).as(s"c_$n")): _*)
     val e = existing.select(existing.columns.map(n => col(n).as(s"e_$n")): _*)
-    val cVer = struct(col(s"c_warc_ts"), col("c__offset"), col("c__partition"))
-    val eVer = struct(col(s"e_warc_ts"), col("e__offset"), col("e__partition"))
+    val cVer = struct(col(s"c_$verName"), col("c__offset"), col("c__partition"))
+    val eVer = struct(col(s"e_$verName"), col("e__offset"), col("e__partition"))
     val changeWins = col(s"e_$urlName").isNull || (cVer > eVer)
     val outCols = (schema.fields.map(_.name) ++
       IceLite.internalFields.map(_.name)).map { n =>

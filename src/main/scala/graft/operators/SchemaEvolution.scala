@@ -82,6 +82,9 @@ object SchemaEvolution {
         val name = s(m("name"))
         require(cur.fields.exists(_.name == name), s"no column: $name")
         require(cur.fields.head.name != name, "cannot drop the key column")
+        require(!cur.fields.find(_.name == name) // NB: json4s also has a
+          .exists(_.id == graft.operators.Merge.versionFieldId), // `Merge`
+          "cannot drop the event-time (merge version) column")
         cur.fields.filterNot(_.name == name)
       case (op, _) => sys.error(s"unknown ALTER op: $op")
     }
@@ -91,7 +94,7 @@ object SchemaEvolution {
   /** Apply an ALTER to the table as a metadata-only commit. */
   def apply(tableDir: String, alterJson: String, epochKey: String): Unit = {
     val m = IceLite.load(tableDir)
-    if (m.epochLog.contains(epochKey)) return
+    if (m.committedEpoch(epochKey)) return
     val next = evolve(m.currentSchema, alterJson,
       m.schemas.map(_.schemaId).max + 1)
     IceLite.commit(tableDir, epochKey, "alter", newSchema = Some(next))

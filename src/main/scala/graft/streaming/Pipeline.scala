@@ -93,8 +93,10 @@ object Pipeline {
     val batch = df.cache()
     try {
       // 0. dead-letter routing, same validity rule as batch replay
+      // key shape stream.dlq.<n>: NUMERIC suffix so the DLQ table's epoch
+      // log folds into a high-water mark instead of growing per batch
       cfg.dlqDir.foreach { dq =>
-        IceLite.append(spark, dq, s"stream.$epochId.dlq",
+        IceLite.append(spark, dq, s"stream.dlq.$epochId",
           graft.operators.Validate.invalid(batch))
       }
       val okEvents = graft.operators.Validate.valid(batch)
@@ -152,11 +154,25 @@ object Pipeline {
         IceLite.append(spark, cfg.lineageDir, s"stream.$epochId", lineageDf)
         inject("afterLineage")
 
-        // 4. throughput metrics: one row per batch
+        // 4. throughput metrics: one row per batch. Upsert/delete counts
+        //    come from the merge result when it computed them; the CTAS
+        //    fast path (rowsUpserted = -1 sentinel) and a crash-replayed
+        //    no-op merge (committed = false) recompute them from the
+        //    cached deduped batch instead — metrics must never publish a
+        //    sentinel, and must be identical whether THIS attempt or a
+        //    previous one committed the table epoch.
+        val (ups, dels) =
+          if (res.committed && res.rowsUpserted >= 0) {
+            (res.rowsUpserted, res.rowsDeleted)
+          } else {
+            val a = deduped.agg(count(lit(1)).as("n"),
+              sum(when(col("op") === "D", 1L).otherwise(0L)).as("d"))
+              .collect()(0)
+            (a.getLong(0) - a.getLong(1), a.getLong(1))
+          }
         import spark.implicits._
         val batchMs = (System.nanoTime() - t0) / 1000000L
-        val metricsDf = Seq((epochId, eventsIn, res.rowsUpserted,
-          res.rowsDeleted, batchMs,
+        val metricsDf = Seq((epochId, eventsIn, ups, dels, batchMs,
           if (batchMs > 0) eventsIn * 1000.0 / batchMs else 0.0))
           .toDF("epoch_id", "events_in", "rows_upserted", "rows_deleted",
             "batch_ms", "events_per_sec")

@@ -89,5 +89,73 @@ class IceLiteSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SchemaEvolution(dir, """{"addColumn":{"name":"url","type":"int"}}""", "b3")
     }
+    // the event-time (merge version) column can be renamed but never dropped
+    intercept[IllegalArgumentException] {
+      SchemaEvolution(dir, """{"dropColumn":{"name":"warc_ts"}}""", "b4")
+    }
+  }
+
+  private def env(rows: Seq[(String, Long, String)]) =
+    rows.map { case (u, o, op) =>
+      (0, o, op, u, new java.sql.Timestamp(1000L * o),
+        s"<html><body>p$o</body></html>".getBytes("UTF-8"), "en",
+        null: String, Map.empty[String, String])
+    }.toDF("partition", "offset", "op", "url", "warc_ts", "html", "lang",
+      "alterJson", "extra")
+
+  test("merge + CDC read survive a RENAME of the event-time column " +
+      "(version resolved by field id)") {
+    val dir = tmpDir("ice6")
+    IceLite.create(dir, Model.pagesSchema, 4)
+    graft.operators.Merge(spark, dir,
+      env(Seq(("https://r.example.com/a", 1L, "I"),
+        ("https://r.example.com/b", 2L, "I"))), "m.0")
+    val vAfterFirst = IceLite.currentVersion(dir)
+    SchemaEvolution(dir,
+      """{"renameColumn":{"from":"warc_ts","to":"captured_at"}}""", "m.alt")
+    // a merge into the NON-EMPTY renamed table must still apply the
+    // (event_time, offset, partition) condition — round-1 bug: hard-coded
+    // c_warc_ts/e_warc_ts blew up with unresolved columns here
+    graft.operators.Merge(spark, dir,
+      env(Seq(("https://r.example.com/a", 9L, "U"),
+        ("https://r.example.com/c", 3L, "I"))), "m.1")
+    val got = IceLite.read(spark, dir)
+    assert(got.columns.contains("captured_at") && got.count() == 3)
+    assert(got.filter(col("url") === "https://r.example.com/a")
+      .collect()(0).getTimestamp(1).getTime == 9000L)
+    // stale update (older event time) must lose against the stored row
+    graft.operators.Merge(spark, dir,
+      env(Seq(("https://r.example.com/a", 4L, "U"))), "m.2")
+    assert(IceLite.read(spark, dir)
+      .filter(col("url") === "https://r.example.com/a")
+      .collect()(0).getTimestamp(1).getTime == 9000L, "older event resurged")
+    // incremental CDC diff across the rename is still computable
+    val ch = graft.operators.Changes.between(spark, dir, vAfterFirst)
+    assert(ch.filter(col("change_type") === "insert").count() == 1)
+    assert(ch.filter(col("change_type") === "update").count() == 1)
+  }
+
+  test("epoch log folds to per-prefix high-water marks: metadata stays " +
+      "O(live files) after 1000 commits") {
+    val dir = tmpDir("ice7")
+    IceLite.create(dir, Model.pagesSchema, 4)
+    (0 until 1000).foreach { i =>
+      IceLite.commit(dir, s"stream.$i", "merge")
+      if (i % 50 == 0) IceLite.commit(dir, s"stream.$i.alter.0", "alter")
+    }
+    val m = IceLite.load(dir)
+    // every epoch is still recognized as committed (replay no-ops) ...
+    assert((0 until 1000).forall(i => m.committedEpoch(s"stream.$i")))
+    assert(m.committedEpoch("stream.500.alter.0") &&
+      !m.committedEpoch("stream.1000") && !m.committedEpoch("other.0"))
+    val before = IceLite.currentVersion(dir)
+    IceLite.commit(dir, "stream.123", "merge") // replay → no new version
+    assert(IceLite.currentVersion(dir) == before)
+    // ... but the metadata does NOT carry 1000 keys: numeric suffixes fold
+    assert(m.epochLog.size <= 2, s"epochLog grew: ${m.epochLog.size}")
+    val metaBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+      dir, "metadata", s"v$before.metadata.json"))
+    assert(metaBytes < 16 * 1024,
+      s"metadata file is $metaBytes bytes after 1000 commits")
   }
 }

@@ -54,6 +54,28 @@ class TrainingDataOpsSpec extends SparkTestBase {
     (10 until 20).foreach(i => assert(pairs.contains((i.toLong, 2000L + i))))
   }
 
+  test("prefix-filtered jaccard pairs == naive quadratic jaccard pairs") {
+    // the AllPairs prefix filter is LOSSLESS: identical pair set to a
+    // driver-side quadratic reference (independent implementation)
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(2), r.getString(1).split(' ').toSet))
+    def naive(t: Double) = (for {
+      (ai, al, at) <- rows; (bi, bl, bt) <- rows
+      if al == bl && ai < bi
+      // same 4-decimal HALF_UP rounding the operator applies before its
+      // threshold, so boundary values classify identically
+      j = BigDecimal((at & bt).size.toDouble / (at | bt).size.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= t
+    } yield (ai, bi)).toSet
+    Seq(0.9, 0.7).foreach { t =>
+      val fast = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", t)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive(t), s"pair-set divergence at threshold $t")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates without full cross join") {
     val cands = DedupOps.minhashCandidates(docs, "doc_id", "text",
       bands = 8, rowsPerBand = 2, minEstimate = 0.7)
@@ -75,6 +97,51 @@ class TrainingDataOpsSpec extends SparkTestBase {
       (b == a + 1000L) || (b == a + 2000L)
     }
     assert(falsePairs.size <= pairs.size / 2, s"simhash false pairs: $falsePairs")
+  }
+
+  test("pigeonhole-banded simhash pairs == naive quadratic simhash pairs") {
+    // hamming ≤ d ⟹ one of the d+1 chunks is identical (pigeonhole), so
+    // the banded equi-join is LOSSLESS: identical pair set to a driver-side
+    // quadratic reference over the SAME simhash values (the engine computes
+    // the hash once; only candidate generation is under test here)
+    val sh = DedupOps.withSimhash(
+      docs.select(col("doc_id").as("id"), col("lang"),
+        DedupOps.tokenSet(col("text")).as("toks")), col("toks"), "sh")
+      .select("id", "lang", "sh")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def naive(d: Int) = (for {
+      (ai, al, ash) <- sh; (bi, bl, bsh) <- sh
+      if al == bl && ai < bi && java.lang.Long.bitCount(ash ^ bsh) <= d
+    } yield (ai, bi)).toSet
+    Seq(4, 10).foreach { d =>
+      val fast = DedupOps.simhashPairs(docs, "doc_id", "text", "lang", d)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive(d), s"pair-set divergence at distance $d")
+    }
+  }
+
+  test("connected components resolve near-dup pairs into canonical groups") {
+    // chain 1-2-3, pair 10-11, triangle 20-21-22 (+21-20 transitively)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // long chain: convergence needs multiple propagation rounds
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = DedupOps.connectedComponents(chain, "a_id", "b_id").collect()
+    assert(cc.length == 16 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("approx_count_distinct tracks exact distinct within the rsd bound") {
+    val exact = docs.select(countDistinct(col("text"))).collect()(0).getLong(0)
+    val approx = docs.select(approx_count_distinct(col("text"), 0.02))
+      .collect()(0).getLong(0)
+    // rsd 0.02 → 3σ = 6%; generous margin for the small-cardinality regime
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact")
   }
 
   private lazy val embeddings = {
@@ -110,6 +177,49 @@ class TrainingDataOpsSpec extends SparkTestBase {
       top(0).getDouble(2) == 1.0)
   }
 
+  test("embeddingPairs: exact path == naive all-pairs; LSH path finds " +
+      "planted near-dups with exact scores") {
+    import org.apache.spark.sql.DataFrame
+    // plant 20 near-identical vectors (tiny perturbation of 0..19)
+    val planted = (0 until 20).map { i =>
+      val base = embeddings.filter(col("vec_id") === i.toLong)
+        .collect()(0).getSeq[Float](1).toArray
+      base(0) = base(0) + 1e-4f
+      (5000L + i, base)
+    }.toDF("vec_id", "embedding")
+    val all = embeddings.unionByName(planted).cache()
+    def naive(df: DataFrame, t: Double) = {
+      val e = df.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", round(Similarity.cosine(col("a_v"), col("b_v")), 4))
+        .filter(col("cos") >= t)
+        .select("a_id", "b_id", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val ref = naive(all, 0.9)
+    // exact path (n=320 ≤ exactLimit): identical pairs AND identical scores
+    val exact = DedupOps.embeddingPairs(all, "vec_id", "embedding", 0.9,
+      exactLimit = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact == ref, "exact path diverged from naive all-pairs")
+    // LSH path (exactLimit=0 forces it): planted near-identical pairs are
+    // found (same-bucket probability ≈ 1 at cos ≈ 1), scores exact, and
+    // no pair below threshold leaks in
+    val lsh = DedupOps.embeddingPairs(all, "vec_id", "embedding", 0.9,
+      exactLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plantedFound = (0 until 20).count(i => lsh.contains((i.toLong, 5000L + i)))
+    assert(plantedFound >= 18, s"LSH recall on planted near-dups: $plantedFound/20")
+    lsh.foreach { case (k, v) =>
+      assert(ref.contains(k) && ref(k) == v,
+        s"LSH produced pair $k with score $v not matching exact ${ref.get(k)}")
+    }
+    all.unpersist()
+  }
+
   test("text analysis: langId, quality, tokens, fingerprint") {
     val df = Seq(
       (1L, "the cat and the dog of a house is that big"),
@@ -134,13 +244,13 @@ class TrainingDataOpsSpec extends SparkTestBase {
       .map(i => (i.toLong, graft.sources.Ledger.makeHtml(
         graft.sources.Ledger.Config(seed = 5), s"https://m.example.com/$i", i)))
       .toDF("media_id", "payload")
-    val meta = Multimodal.extractMeta(media, "media_id", "payload", 4)
+    val meta = Multimodal.extractMeta(media, "media_id", "payload", Some(4))
     assert(meta.count() == 50)
     assert(meta.columns.toSet == Set("media_id", "n_bytes", "format",
       "width", "height", "n_frames", "checksum"))
     val r = meta.filter(col("media_id") === 7L).collect()(0)
     // deterministic: same payload → same metadata on every run
-    val again = Multimodal.extractMeta(media, "media_id", "payload", 2)
+    val again = Multimodal.extractMeta(media, "media_id", "payload", Some(2))
       .filter(col("media_id") === 7L).collect()(0)
     assert(r.getLong(6) == again.getLong(6) && r.getInt(3) == again.getInt(3))
     assert(meta.filter(col("width") < 64).count() == 0)
