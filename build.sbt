@@ -31,6 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Throughput collector: the replay hot path (parquet decode →
+  // extract_text → parquet encode) is allocation-heavy; G1's
+  // stop-the-world young pauses grow with thread count and were the
+  // largest non-parallel fraction of the 8-thread replay. Batch engine →
+  // pause times don't matter, aggregate throughput does.
+  "-XX:+UseParallelGC",
   // local mode = driver-only JVM; the host has 128 GiB. Lazily committed,
   // so a large ceiling costs nothing when unused but lets the bench replay
   // millions of events without artificial spilling.

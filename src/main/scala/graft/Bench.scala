@@ -34,16 +34,24 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
   }
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int,
+      filesMaxPartitionBytes: Option[String] = None): SparkSession = {
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", fastDir())
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"thorspark-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional scan-partition-size override (SPARK_GRAFT_CDC_MAX_PARTITION).
+    // Measured on this host: 512 MB tasks LOWERED replay throughput ~15%
+    // (stragglers + fewer tasks than threads on pruned scans) despite a
+    // better map-side combine ratio in the winner aggregation — default
+    // 128 MB stands; the knob remains for other hardware.
+    filesMaxPartitionBytes.foreach(v =>
+      b.config("spark.sql.files.maxPartitionBytes", v))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -64,8 +72,10 @@ object Bench {
 
   /** One timed replay into a fresh table; returns events/sec applied.
     * The output table is deleted after timing to bound tmpfs usage.
+    * (Used by ad-hoc measurements; the scaling pairs run in pinned child
+    * JVMs via [[childReplayEvps]]/[[BenchChild]].)
     */
-  private def replayRun(spark: SparkSession, ledger: String, work: String,
+  private[graft] def replayRun(spark: SparkSession, ledger: String, work: String,
       nEvents: Long, tag: String): Double = {
     val table = s"$work/pages-$tag"
     val sec = timed(Replay.full(spark, ledger, table,
@@ -77,7 +87,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "8000000").toLong
+    // 16M events: large enough that the fixed per-replay driver work
+    // (alters scan, winner-set broadcast build, commit, job barriers —
+    // ~3.5 s measured) is a small fraction of even the 8-thread run;
+    // scaling laws measured on tiny runs measure startup, not the engine
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
     val work = fastDir()
 
     // ---- phase A: operator queries at local[cpus] ----------------------
@@ -109,12 +123,21 @@ object Bench {
     val cfg = Ledger.Config(seed = 42L, nEvents = cdcEvents,
       nDomains = 1000, pagesPerDomain = 100, partitions = 16, segments = 4,
       duplicateRate = 0.03, deleteRate = 0.04)
-    val warmCfg = cfg.copy(nEvents = 15000, segments = 1)
+    // Warm-up sizing: 15k events leaves the replay's codegen/JIT cold and
+    // the FIRST timed local[2] runs measured 35% low (a rising evps trend
+    // across reps = warm-up leaking into the measurement, which biases the
+    // paired ratio). 2M events (~1/8 of the real run) reaches steady state.
+    val warmEvents = sys.env.getOrElse("SPARK_GRAFT_WARM_EVENTS", "2000000").toLong
+    val warmCfg = cfg.copy(nEvents = warmEvents, segments = 1)
     val ledger = s"$work/ledger"
     val warmLedger = s"$work/ledger-warm"
     Ledger.synthesize(spark0, cfg, ledger)
     Ledger.synthesize(spark0, warmCfg, warmLedger)
     spark0.stop()
+    // return the parent's post-synthesis heap to the OS before forking the
+    // measured children: a fat resident parent + child heap + tmpfs ledger
+    // otherwise squeezes host RAM into reclaim stalls mid-measurement
+    System.gc()
 
     val cdc = try { cdcScaling(work, ledger, warmLedger, warmCfg, cdcEvents) }
       catch { case e: Throwable =>
@@ -142,6 +165,55 @@ object Bench {
     }
   }
 
+  /** JDK17 module opens Spark needs outside spark-submit — mirror of
+    * build.sbt's list, for the child JVMs this main forks.
+    */
+  private[graft] val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one warm + one timed replay in a fresh child JVM pinned to
+    * `cores` host cores (taskset) with a `4g × cores` heap — an N-core
+    * cluster node in miniature: GC, JIT, codec and I/O threads all live
+    * INSIDE the node's core budget, exactly as they would on a real
+    * executor host. Returns events/sec of the timed replay.
+    */
+  private def childReplayEvps(cores: Int, ledger: String, warmLedger: String,
+      warmEvents: Long, events: Long, work: String, tag: String): Double = {
+    val outFile = s"$work/child-$tag.evps"
+    val logFile = s"$work/child-$tag.log"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pin =
+      if (java.nio.file.Files.isExecutable(
+        java.nio.file.Paths.get("/usr/bin/taskset"))) {
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      } else Nil
+    // 3 GB/core: a realistic per-core node memory that ALSO keeps
+    // (parent heap + child heap + tmpfs ledger) well under host RAM —
+    // an oversized child heap next to the parent's pushed the host into
+    // kernel reclaim stalls (measured: 4x replay slowdown)
+    val cmd = pin ++ Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-Xmx${3L * cores}g",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchChild", cores.toString, ledger, warmLedger,
+      warmEvents.toString, events.toString, work, outFile)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(new java.io.File(logFile))
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val code = p.waitFor()
+    require(code == 0, s"bench child $tag exited $code — see $logFile")
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outFile))).trim.toDouble
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -159,20 +231,39 @@ object Bench {
     // processes reach ~3.8×. The engine must not be graded on hardware it
     // isn't given; N=2 vs 4N=8 isolates the ENGINE's scaling behavior.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    // INTERLEAVED best-of-3 per level after a JIT warm-up: this sandbox
-    // host shows ±60% run-to-run noise from neighbors; interleaving the
-    // two levels decorrelates slow host periods from one level, and
-    // best-of isolates the engine's capability (method in BASELINE.md)
+    // INTERLEAVED reps in ONE long-lived JVM (fresh session per level,
+    // warm replay per session). Pinned fresh-child JVMs per level were
+    // built and measured (see [[childReplayEvps]]/[[BenchChild]],
+    // SPARK_GRAFT_CHILD_JVMS=1) but are NOT the default: this firecracker
+    // microVM re-provisions guest pages at the host after any big memory
+    // burst, so every fresh JVM pays multi-second host-fault storms that
+    // swamp the engine signal (measured swings 0.15–1.3M evps for the
+    // identical pinned run). The hot in-JVM measurement is the stable one;
+    // BASELINE.md documents the full calibration.
     val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "6").toInt
+    val useChildren = sys.env.contains("SPARK_GRAFT_CHILD_JVMS")
     val pairs = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     def runPair(k: Int): Unit = {
-      val pair = Seq(scaleN, scaleN * 4).map { n =>
-        val s = session(n)
-        if (k == 1) replayRun(s, warmLedger, work, warmCfg.nEvents, s"warm$n")
-        val r = replayRun(s, ledger, work, cdcEvents, s"n$n-$k")
-        s.stop()
-        n -> r
+      // counterbalanced order (N,4N / 4N,N alternating): monotone host
+      // drift within a rep otherwise biases every paired ratio the same way
+      val order = if (k % 2 == 1) Seq(scaleN, scaleN * 4)
+        else Seq(scaleN * 4, scaleN)
+      val pair = order.map { n =>
+        val evps =
+          if (useChildren) {
+            childReplayEvps(n, ledger, warmLedger, warmCfg.nEvents,
+              cdcEvents, work, s"n$n-$k")
+          } else {
+            val s = session(n, filesMaxPartitionBytes =
+              sys.env.get("SPARK_GRAFT_CDC_MAX_PARTITION"))
+            // warm EVERY session: an under-warmed level biases its ratio
+            replayRun(s, warmLedger, work, warmCfg.nEvents, s"warm$n-$k")
+            val r = replayRun(s, ledger, work, cdcEvents, s"n$n-$k")
+            s.stop()
+            r
+          }
+        n -> evps
       }.toMap
       System.err.println(f"[bench] rep $k: evps@$scaleN=${pair(scaleN)}%.0f " +
         f"evps@${scaleN * 4}=${pair(scaleN * 4)}%.0f " +
@@ -191,7 +282,7 @@ object Bench {
     def ratios = pairs.map(p => p(scaleN * 4) / (4.0 * p(scaleN))).toSeq
     def spread = (ratios.max - ratios.min) / math.max(median(ratios), 1e-9)
     (1 to baseReps).foreach(runPair)
-    while (spread > 0.5 && pairs.length < maxReps) {
+    while (spread > 0.25 && pairs.length < maxReps) {
       runPair(pairs.length + 1)
     }
     // throughput headline: best observed per level (least-disturbed run)
@@ -206,7 +297,50 @@ object Bench {
       f""""evps_localN":${evps(scaleN)}%.0f,""" +
       f""""evps_local4N":${evps(scaleN * 4)}%.0f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
-      f""""efficiency_method":"median of paired N/4N ratios",""" +
+      f""""efficiency_method":"median of counterbalanced paired N/4N """ +
+      (if (useChildren) f"""ratios, taskset-pinned N-core child JVMs","""
+       else f"""ratios, warmed sessions in one hot JVM",""") +
       f""""paired_ratios":$ratioJson}"""
+  }
+}
+
+/** One pinned bench level (forked by [[Bench.childReplayEvps]]): a warm
+  * replay then a timed replay at local[cores], events/sec written to the
+  * result file. Runs as its own JVM so core pinning and heap sizing model
+  * a real N-core executor node.
+  */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(coresS, ledger, warmLedger, warmEventsS, eventsS, work, outFile) = args
+    val cores = coresS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"thorspark-bench-child-$cores")
+      .config("spark.sql.shuffle.partitions", coresS)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$work/sl-$cores-${System.nanoTime()}")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def replay(src: String, nEvents: Long, tag: String): Double = {
+      val table = s"$work/pages-child-$tag"
+      val t0 = System.nanoTime()
+      Replay.full(spark, src, table, nBuckets = 64, epochPrefix = s"bc-$tag")
+      val sec = (System.nanoTime() - t0) / 1e9
+      def del(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val it = java.nio.file.Files.list(p).iterator()
+          while (it.hasNext) del(it.next())
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      del(java.nio.file.Paths.get(table))
+      nEvents / sec
+    }
+    replay(warmLedger, warmEventsS.toLong, s"warm-$cores")
+    val evps = replay(ledger, eventsS.toLong, s"timed-$cores")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      f"$evps%.1f")
+    spark.stop()
   }
 }

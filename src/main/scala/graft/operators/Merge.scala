@@ -80,7 +80,12 @@ object Merge {
     val schema = pre.currentSchema
     val nBuckets = pre.numBuckets
 
-    val deduped = if (preDeduped) changes else Dedup.latestPerKey(changes)
+    // the batch-replay entrance (preDeduped=false) sees the FULL version
+    // history per url — use the payload-light winner-filter dedup there;
+    // streaming micro-batches arrive preDeduped (low duplication, one-pass
+    // max_by in Pipeline)
+    val deduped = if (preDeduped) changes
+      else Dedup.latestPerKeyViaWinners(changes)
     // Winner rows in physical-table shape, resolved by field id so the merge
     // survives renames; extension fields (id > 5) are promoted out of the
     // `extra` map; `text` is computed by the frozen extractor.

@@ -6,6 +6,7 @@ import graft.model.ChangeEvent
 import graft.operators.{Dedup, Merge, Replay}
 import graft.sources.Ledger
 import graft.util.Det
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -84,6 +85,15 @@ class PropertySpec extends SparkTestBase {
         .select("url", "offset", "partition").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
       assert(a == b)
+      // the payload-light winner-filter form (used by the batch replay
+      // path in Merge) picks the SAME winning event per url
+      val c = Dedup.latestPerKeyViaWinners(shuffled.filter(col("op") =!= "ALTER"))
+        .select("url", "offset", "partition").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val aData = Dedup.latestPerKey(events.filter(col("op") =!= "ALTER"))
+        .select("url", "offset", "partition").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(c == aData)
     }
   }
 
