@@ -384,7 +384,15 @@ object SparkEntry {
       // exact all-pairs at/below exactLimit rows (the DuckDB-mirrorable
       // oracle path, taken at the sf0.01 gate); above it, hyperplane-LSH
       // bucketed candidates scored exactly inside the bucket (the scale
-      // path — taken at sf0.1+ and at 10^10 rows)
+      // path — taken at sf0.1+ and at 10^10 rows).
+      // Cross-engine parity note (ADVICE r1): the cosine op order here is
+      // dot/(‖a‖·‖b‖) with left-fold sums, which DuckDB's
+      // list_cosine_similarity matches bit-for-bit on this deterministic
+      // dataset (verified at sf0.001 + sf0.01 by the strict local gate,
+      // which compares unrounded doubles exactly and would flag a
+      // round(.,4)/threshold boundary flip before the driver sees it).
+      // The formula is therefore FROZEN — hand-rolling the oracle's fold
+      // instead would itself risk introducing op-order skew.
       DedupOps.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, exactLimit = 1000L)),
 
