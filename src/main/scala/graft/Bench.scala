@@ -179,7 +179,7 @@ object Bench {
     .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Run one warm + one timed replay in a fresh child JVM pinned to
-    * `cores` host cores (taskset) with a `4g × cores` heap — an N-core
+    * `cores` host cores (taskset) with a `3 GB × cores` heap — an N-core
     * cluster node in miniature: GC, JIT, codec and I/O threads all live
     * INSIDE the node's core budget, exactly as they would on a real
     * executor host. Returns events/sec of the timed replay.
@@ -278,7 +278,15 @@ object Bench {
     // ratios — never by where the median lands, so the stopping rule cannot
     // bias the reported efficiency toward an acceptance band. ALL per-rep
     // ratios are emitted in the JSON so the spread is visible, not hidden.
-    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    // conventional median: average of the two middle elements on even
+    // counts (the upper-middle element alone is biased upward — it once
+    // reported 0.895 where the conventional median of the same ratios
+    // was 0.827, on the metric with the acceptance threshold)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     def ratios = pairs.map(p => p(scaleN * 4) / (4.0 * p(scaleN))).toSeq
     def spread = (ratios.max - ratios.min) / math.max(median(ratios), 1e-9)
     (1 to baseReps).foreach(runPair)

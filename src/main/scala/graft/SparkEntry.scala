@@ -198,14 +198,25 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
 
     "asof_latest" -> ((s, d) => {
+      // as-of via one partitioned window over the unioned event stream —
+      // LINEAR in events per key. The join form (equi-join on user_id with
+      // s_ts <= ts, then max) materializes purchases×signups rows per user
+      // before aggregating: per-key QUADRATIC under a Zipf-hot key.
+      // last(signup_ts) ignore-nulls over (user, ts asc, signups-first at
+      // ties) gives each purchase the max signup ts <= its own ts; the
+      // inclusive tie (signup at the same ts counts) is encoded by sorting
+      // is_signup desc within equal ts.
       val e = t(s, d, "events")
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val sg = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_uid"), col("ts").as("s_ts"))
-      p.join(sg, col("user_id") === col("s_uid") && col("s_ts") <= col("ts"))
-        .groupBy(col("event_id"), col("user_id"))
-        .agg(max(col("s_ts")).as("last_signup_ts"))
+      val ev = e.filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "signup").as("is_signup"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_signup").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup_ts",
+          last(when(col("is_signup"), col("ts")), ignoreNulls = true).over(w))
+        .filter(!col("is_signup") && col("last_signup_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("last_signup_ts"))
     }),
 
     "range_join" -> ((s, d) => {
@@ -251,6 +262,19 @@ object SparkEntry {
         .agg(approx_count_distinct(col("source"), 0.02).as("approx_sources"),
           count(lit(1)).as("n_docs"))),
 
+    "approx_distinct_check" -> ((s, d) =>
+      // the DuckDB-checkable projection of approx_distinct: the sketch
+      // estimate stays within a 5x-rsd tolerance of the exact distinct
+      // count per group — if the HLL implementation drifted, within_tol
+      // flips and the oracle hash breaks. (The exact countDistinct here is
+      // a correctness gate at oracle scale, not the production plan.)
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (abs(approx_count_distinct(col("source"), 0.02).cast("double") -
+            countDistinct(col("source")).cast("double")) <=
+            lit(0.1) * countDistinct(col("source")).cast("double"))
+            .as("within_tol"))),
+
     "tumbling_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 day").as("w"))
@@ -273,9 +297,22 @@ object SparkEntry {
     "topk_domains" -> ((s, d) => {
       val counts = t(s, d, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
-      counts.withColumn("rnk",
-          dense_rank().over(Window.orderBy(col("n_docs").desc)).cast("long"))
-        .filter(col("rnk") <= 5)
+      // dense_rank() <= k  ⇔  n_docs is among the top-k DISTINCT counts.
+      // An unpartitioned window would move EVERY (source, count) row into
+      // one task (single-task sort at 10^8 domains); instead compute the k
+      // distinct counts with a global top-k (TakeOrderedAndProject — per-
+      // partition top-k merged at the driver), rank those k values driver-
+      // side (control-plane read bounded by k), and broadcast the k-row
+      // (count → rank) map back onto the distributed counts. Ties keep
+      // dense_rank semantics exactly: every source at a top-k count joins.
+      import s.implicits._
+      val topCounts = counts.select(col("n_docs")).distinct()
+        .orderBy(col("n_docs").desc).limit(5)
+        .as[Long].collect().sortBy(-_)
+      val ranks = topCounts.zipWithIndex
+        .map { case (n, i) => (n, (i + 1).toLong) }.toSeq
+        .toDF("n_docs_r", "rnk")
+      counts.join(broadcast(ranks), col("n_docs") === col("n_docs_r"))
         .select(col("source"), col("n_docs"), col("rnk"))
     }),
 
@@ -334,6 +371,14 @@ object SparkEntry {
         .groupBy(pmod(xxhash64(col("text")), lit(32L)).as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    "hash_bucket_md5" -> ((s, d) =>
+      // same bucketing plan with the engine-portable 60-bit md5 hash, so
+      // the histogram is DuckDB-recomputable — gates the hash_bucket path
+      t(s, d, "documents")
+        .groupBy(pmod(DedupOps.portableHash(col("text")), lit(32L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     "array_funcs" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -377,8 +422,26 @@ object SparkEntry {
       DedupOps.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
         bands = 2, rowsPerBand = 8, minEstimate = 0.9)),
 
+    "dedup_minhash_md5" -> ((s, d) =>
+      // SAME minhash+LSH pipeline with the portable hash family: DuckDB
+      // re-derives signatures, bands, candidates and estimates from
+      // scratch and must land on the bit-identical pair set (est values
+      // are k=16ths — exact in binary, no rounding risk)
+      DedupOps.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
+        bands = 2, rowsPerBand = 8, minEstimate = 0.9,
+        hashFn = DedupOps.portableHash)),
+
     "dedup_simhash" -> ((s, d) => // no oracle: xxhash64 simhash
       DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4)),
+
+    "dedup_simhash_md5" -> ((s, d) =>
+      // portable-hash simhash: the DuckDB oracle recomputes the 60-bit
+      // vote vector and Hamming pairs NAIVELY (per-lang quadratic, fine at
+      // oracle scale) — so this also cross-engine-proves the pigeonhole
+      // banding lossless, independently of the sbt equivalence spec
+      DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text", "lang", 4,
+        hashFn = DedupOps.portableHash)
+        .withColumn("hamming", col("hamming").cast("long"))),
 
     "dedup_embedding" -> ((s, d) =>
       // exact all-pairs at/below exactLimit rows (the DuckDB-mirrorable
@@ -598,6 +661,72 @@ object SparkEntry {
       """SELECT lang, count(DISTINCT source) AS n_sources,
            count(*) AS n_docs
          FROM documents GROUP BY lang""",
+
+    "approx_distinct_check" ->
+      """SELECT lang, count(*) AS n_docs, TRUE AS within_tol
+         FROM documents GROUP BY lang""",
+
+    "hash_bucket_md5" ->
+      """SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT % 32 AS bucket,
+           count(*) AS n
+         FROM documents GROUP BY 1""",
+
+    "dedup_minhash_md5" ->
+      // full from-scratch re-derivation of the minhash+LSH pipeline on the
+      // portable 60-bit md5 hash family: signatures → 2 bands of 8 →
+      // band-equality candidates → matching-fraction estimate ≥ 0.9.
+      // est values are sixteenths (exact doubles), so the hash compare is
+      // safe; band keys compare as raw strings here vs xxhash64 of the
+      // same strings in Spark — identical equality classes
+      """WITH t AS (SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS toks
+           FROM documents),
+         sig AS (
+           SELECT doc_id, s.i AS i,
+             min(('0x' || substr(md5(s.i::VARCHAR || ':' || u.tok), 1, 15))
+               ::BIGINT) AS mh
+           FROM t, unnest(toks) AS u(tok), generate_series(0, 15) s(i)
+           GROUP BY doc_id, s.i),
+         bands AS (
+           SELECT doc_id, i // 8 AS band,
+             string_agg(mh::VARCHAR, '|' ORDER BY i) AS bkey
+           FROM sig GROUP BY doc_id, i // 8),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT c.a_id, c.b_id,
+             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / 16.0 AS est
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.a_id
+           JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+           GROUP BY c.a_id, c.b_id)
+         SELECT a_id, b_id, round(est, 4) AS est_jaccard
+         FROM est WHERE est >= 0.9""",
+
+    "dedup_simhash_md5" ->
+      // independent naive re-derivation: 60-bit vote-vector simhash per
+      // doc, then per-lang QUADRATIC Hamming pairs (fine at oracle scale)
+      // — cross-engine-proves the Spark side's pigeonhole banding lossless
+      """WITH tok AS (SELECT doc_id, lang,
+             unnest(list_distinct(string_split(text, ' '))) AS t
+           FROM documents),
+         th AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         bits AS (SELECT doc_id, lang, s.b AS b,
+             sum(CASE WHEN (h >> s.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th, generate_series(0, 59) s(b)
+           GROUP BY doc_id, lang, s.b),
+         sh AS (SELECT doc_id, lang,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+               AS BIGINT) AS sh
+           FROM bits GROUP BY doc_id, lang)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 4""",
 
     "tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,

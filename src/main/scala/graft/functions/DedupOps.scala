@@ -47,6 +47,17 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** 60-bit ENGINE-PORTABLE hash: the first 15 hex chars of md5, read as a
+    * long. Strictly slower than xxhash64 (the default family everywhere),
+    * but computable bit-identically in DuckDB —
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT` — so the hash-dependent
+    * operators (minhash, simhash, hash bucketing) gain full cross-engine
+    * oracles via `*_md5` query variants that exercise the SAME code paths
+    * with this family swapped in.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Token-set Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -110,13 +121,16 @@ object DedupOps {
   }
 
   /** MinHash signature (k hash functions) over the token set, as a
-    * k-element array. Hash family: xxhash64 salted by the function index —
-    * codegen'd, no UDF. Signature equality probability ≈ Jaccard.
+    * k-element array. Hash family: `hashFn` applied to the index-salted
+    * token — xxhash64 by default (codegen'd, no UDF), [[portableHash]]
+    * for the oracle-checkable variant. Signature equality probability
+    * ≈ Jaccard.
     */
-  def minhashSignature(toksCol: Column, k: Int): Column =
+  def minhashSignature(toksCol: Column, k: Int,
+      hashFn: Column => Column = c => xxhash64(c)): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(toksCol,
-        t => xxhash64(concat(i.cast("string"), lit(":"), t)))))
+        t => hashFn(concat(i.cast("string"), lit(":"), t)))))
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; a pair is a candidate iff some band matches exactly.
@@ -124,10 +138,11 @@ object DedupOps {
     * final Jaccard estimate is the matching-minhash fraction.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, minEstimate: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, minEstimate: Double,
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(tokenSet(col(textCol)), k).as("sig"))
+      minhashSignature(tokenSet(col(textCol)), k, hashFn).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("|",
@@ -155,8 +170,9 @@ object DedupOps {
     * (large) vote expression is evaluated once per row, not 64 times.
     * Near-duplicates have small Hamming distance.
     */
-  def withSimhash(df: DataFrame, toksCol: Column, out: String): DataFrame = {
-    val hashes = transform(toksCol, t => xxhash64(t))
+  def withSimhash(df: DataFrame, toksCol: Column, out: String,
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+    val hashes = transform(toksCol, t => hashFn(t))
     val votes = aggregate(hashes, array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc,
         array((0 until 64).map(i =>
@@ -180,12 +196,13 @@ object DedupOps {
     * equi and bucket-local.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String, maxDistance: Int): DataFrame = {
+      langCol: String, maxDistance: Int,
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64)
     val sh = withSimhash(
       docs.select(col(idCol).as("id"), col(langCol).as("lang"),
         tokenSet(col(textCol)).as("toks")),
-      col("toks"), "sh").select("id", "lang", "sh")
+      col("toks"), "sh", hashFn).select("id", "lang", "sh")
     val nChunks = maxDistance + 1
     val chunks = (0 until nChunks).map { i =>
       val start = i * 64 / nChunks
@@ -264,14 +281,25 @@ object DedupOps {
     * transitive closure a training-data pipeline needs to pick one canonical
     * document per near-dup cluster.
     *
-    * Iterative min-label propagation in DataFrames: each round every node
-    * takes the min of its own label and its neighbors' labels; converges in
-    * ≤ component-diameter rounds (near-dup clusters are shallow). Each round
-    * is one equi-join + one aggregation — shuffle-bounded by |edges|, no
-    * driver-side graph. Each round's labels are `localCheckpoint`ed: an
-    * iterative DataFrame loop MUST truncate lineage, otherwise the logical
-    * plan (and AQE's per-stage explain strings) grows exponentially with
-    * the iteration count. Convergence is detected with a limit(1) probe.
+    * Iterative min-label propagation WITH pointer jumping: each round every
+    * node takes the min over {its own label, its neighbors' labels, its
+    * label's label}. The pointer-jump term (lbl ← label(lbl)) halves the
+    * remaining distance to the component minimum each round, so convergence
+    * needs O(log diameter) rounds instead of O(diameter) — a 10^6-long
+    * near-dup chain resolves in ~20 rounds, not 10^6. The jump rides the
+    * SAME join as neighbor propagation (the label pointers are just |nodes|
+    * extra edges unioned in), so each round is exactly one equi-join + one
+    * aggregation — shuffle-bounded by |edges| + |nodes|, no driver-side
+    * graph. The previous label is carried THROUGH the aggregation
+    * (min(lbl) where own), so convergence detection is a filter over the
+    * freshly checkpointed round result — no extra join, no recomputation.
+    * Each round's labels are `localCheckpoint`ed: an iterative DataFrame
+    * loop MUST truncate lineage, otherwise the logical plan (and AQE's
+    * per-stage explain strings) grows exponentially with iteration count.
+    *
+    * Throws if maxIter rounds pass without convergence rather than silently
+    * returning non-canonical labels (with pointer jumping, maxIter = 20
+    * covers component diameters up to ~2^20).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -283,19 +311,30 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val prop = edges
+      // graph edges + label-pointer edges (id → lbl): joining both against
+      // the round-start labels propagates neighbor labels AND performs the
+      // pointer jump lbl ← label(lbl) in one shuffle
+      val allEdges = edges
+        .union(labels.select(col("id").as("x"), col("lbl").as("y")))
+      val prop = allEdges
         .join(labels.select(col("id").as("y"), col("lbl")), Seq("y"))
         .select(col("x").as("id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      val next = labels.select(col("id"), col("lbl"), lit(true).as("own"))
+        .union(prop.select(col("id"), col("lbl"), lit(false).as("own")))
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("prev"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).limit(1).count()
-      labels = next
+      // labels only ever decrease, so "changed" ⇔ new < old — readable
+      // straight off the checkpointed blocks, no join and no recompute
+      val changed = next.filter(col("lbl") < col("prev")).limit(1).count()
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0L
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds 2^maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
   }
 }

@@ -58,20 +58,21 @@ object Multimodal {
   }
 
   /** End-to-end shape over a DataFrame with (idCol: long, binCol: binary):
-    * repartition to bound batch memory (binary rows are wide), decode, and
-    * return columnar metadata. Partition count defaults to the session's
-    * parallelism (cluster-sized, never a hard-wired single-digit literal);
-    * pass `partitions` explicitly when batch memory must be bounded tighter
-    * (payload bytes per task ≈ input bytes / partitions).
+    * decode IN PLACE and return columnar metadata. No repartition by
+    * default: the parquet scan already bounds partitions at
+    * `spark.sql.files.maxPartitionBytes` (≤128 MB), so shuffling every
+    * payload byte through an exchange before decode would move 100 TB of
+    * media across the wire for nothing. Pass `partitions` explicitly only
+    * when batch memory must be re-bounded (payload bytes per task ≈ input
+    * bytes / partitions) — e.g. a narrow upstream filter left few, fat
+    * partitions.
     */
   def extractMeta(df: DataFrame, idCol: String, binCol: String,
       partitions: Option[Int] = None): DataFrame = {
     import df.sparkSession.implicits._
-    val nParts = partitions.getOrElse(
-      df.sparkSession.sparkContext.defaultParallelism)
-    val typed = df.select(col(idCol).cast("long"), col(binCol))
+    val base = df.select(col(idCol).cast("long"), col(binCol))
       .na.drop(Seq(binCol))
-      .repartition(nParts)
+    val typed = partitions.fold(base)(n => base.repartition(n))
       .as[(Long, Array[Byte])]
     decodeMeta(typed).toDF()
   }

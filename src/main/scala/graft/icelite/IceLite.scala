@@ -14,7 +14,18 @@ import org.json4s.jackson.JsonMethods
   * spec semantics that BASELINE.json requires:
   *
   *  - immutable parquet data files + a JSON metadata log (one file per commit)
-  *  - atomic commits via write-new-metadata + atomic rename of a version hint
+  *  - PER-BUCKET MANIFEST files + a manifest list in the metadata (the
+  *    Iceberg manifest split): the metadata JSON names one manifest per
+  *    bucket; each manifest lists that bucket's data files. A commit writes
+  *    new manifests only for the buckets it touches and carries every other
+  *    bucket's manifest BY REFERENCE — per-commit metadata writes are
+  *    O(touched buckets × files-per-bucket + total buckets), never
+  *    O(all live files). At 10^5 buckets × several files each, a one-bucket
+  *    micro-batch commit writes a few KB, not the whole file census.
+  *  - atomic commits via CONDITIONAL CREATE of the next metadata version
+  *    (the [[Catalog]] CAS — filesystem CREATE_NEW locally, S3/GCS
+  *    conditional PUT in an object store). Concurrent committers race on
+  *    the create; the loser reloads and rebases (see [[commit]]).
   *  - idempotent commits keyed by **epoch key**: a commit whose epoch key is
   *    already in the snapshot log is a no-op replay — this is the
   *    exactly-once mechanism for `foreachBatch` (epoch key = batch id)
@@ -29,15 +40,15 @@ import org.json4s.jackson.JsonMethods
   * {{{
   * table/
   *   data/<epoch>-<bucket>-<n>.parquet
-  *   metadata/v<N>.metadata.json
-  *   metadata/version-hint.text        // current N, swapped atomically
+  *   metadata/v<N>.metadata.json       // manifest list + schemas + epochs
+  *   metadata/man-<uniq>-b<B>.json     // bucket B's data-file list
+  *   metadata/version-hint.text        // read fast path (cache, not truth)
   * }}}
   *
-  * Scale note: on a real cluster the atomic-rename step is the one piece
-  * that changes — an object store needs a catalog pointer swap (conditional
-  * PUT) instead of a filesystem rename. Everything else (metadata log,
-  * epoch-keyed idempotence, bucket pruning) is storage-agnostic. Metadata is
-  * O(files + commits), read once per query from the driver.
+  * Crash/race debris: a committer that dies (or loses the CAS) after
+  * staging data files or manifests leaves unreachable orphans — never
+  * visible, reclaimed by maintenance. Metadata is read once per query from
+  * the driver.
   */
 object IceLite {
 
@@ -51,6 +62,11 @@ object IceLite {
 
   case class DataFileEntry(path: String, bucket: Int, schemaId: Int, rows: Long)
 
+  /** One bucket's data-file list, stored out-of-line (the manifest split).
+    * Immutable once written; shared by reference across versions.
+    */
+  case class ManifestRef(path: String, bucket: Int, nFiles: Int)
+
   case class Metadata(
       version: Int,
       snapshotId: Long,
@@ -60,6 +76,7 @@ object IceLite {
       currentSchemaId: Int,
       numBuckets: Int,
       schemas: Seq[Schema],
+      manifests: Seq[ManifestRef],
       files: Seq[DataFileEntry],
       epochLog: Set[String],
       epochHwm: Map[String, Long],
@@ -106,9 +123,29 @@ object IceLite {
   private def typeToJsonString(dt: DataType): String = dt.json
   private def typeFromJsonString(s: String): DataType = DataType.fromJson(s)
 
+  private def fileToJson(f: DataFileEntry): JObject = JObject(
+    "path" -> JString(f.path),
+    "bucket" -> JInt(f.bucket),
+    "schemaId" -> JInt(f.schemaId),
+    "rows" -> JLong(f.rows))
+
+  private def jstr(v: JValue): String =
+    v match { case JString(x) => x; case _ => sys.error("str") }
+  private def jnum(v: JValue): Long = v match {
+    case JInt(x) => x.toLong; case JLong(x) => x; case _ => sys.error("num")
+  }
+  private def jbool(v: JValue): Boolean =
+    v match { case JBool(x) => x; case _ => sys.error("bool") }
+
+  private def fileFromJson(fv: JValue): DataFileEntry = {
+    val fo = fv.asInstanceOf[JObject].obj.toMap
+    DataFileEntry(jstr(fo("path")), jnum(fo("bucket")).toInt,
+      jnum(fo("schemaId")).toInt, jnum(fo("rows")))
+  }
+
   private def toJson(m: Metadata): String = {
     val j = JObject(
-      "format" -> JString("icelite/1"),
+      "format" -> JString("icelite/2"),
       "version" -> JInt(m.version),
       "snapshotId" -> JLong(m.snapshotId),
       "parentSnapshotId" -> JLong(m.parentSnapshotId),
@@ -124,11 +161,13 @@ object IceLite {
           "name" -> JString(f.name),
           "type" -> JString(typeToJsonString(f.dataType)),
           "nullable" -> JBool(f.nullable))))))),
-      "files" -> JArray(m.files.toList.map(f => JObject(
-        "path" -> JString(f.path),
-        "bucket" -> JInt(f.bucket),
-        "schemaId" -> JInt(f.schemaId),
-        "rows" -> JLong(f.rows)))),
+      // the manifest LIST: per-bucket file lists live out-of-line; this
+      // JSON never carries individual data files (see fromJson for the
+      // icelite/1 inline-files legacy read path)
+      "manifests" -> JArray(m.manifests.toList.map(r => JObject(
+        "path" -> JString(r.path),
+        "bucket" -> JInt(r.bucket),
+        "nFiles" -> JInt(r.nFiles)))),
       "epochLog" -> JArray(m.epochLog.toList.sorted.map(JString(_))),
       "epochHwm" -> JObject(m.epochHwm.toList.sortBy(_._1)
         .map { case (k, v) => k -> (JLong(v): JValue) }))
@@ -137,62 +176,96 @@ object IceLite {
 
   private def fromJson(s: String): Metadata = {
     val j = JsonMethods.parse(s)
-    def str(v: JValue): String = v match { case JString(x) => x; case _ => sys.error("str") }
-    def num(v: JValue): Long = v match {
-      case JInt(x) => x.toLong; case JLong(x) => x; case _ => sys.error("num")
-    }
-    def bool(v: JValue): Boolean = v match { case JBool(x) => x; case _ => sys.error("bool") }
     val o = j.asInstanceOf[JObject].obj.toMap
     val schemas = o("schemas").asInstanceOf[JArray].arr.map { sv =>
       val so = sv.asInstanceOf[JObject].obj.toMap
       Schema(
-        num(so("schemaId")).toInt,
+        jnum(so("schemaId")).toInt,
         so("fields").asInstanceOf[JArray].arr.map { fv =>
           val fo = fv.asInstanceOf[JObject].obj.toMap
-          Field(num(fo("id")).toInt, str(fo("name")),
-            typeFromJsonString(str(fo("type"))), bool(fo("nullable")))
+          Field(jnum(fo("id")).toInt, jstr(fo("name")),
+            typeFromJsonString(jstr(fo("type"))), jbool(fo("nullable")))
         })
     }
-    val files = o("files").asInstanceOf[JArray].arr.map { fv =>
-      val fo = fv.asInstanceOf[JObject].obj.toMap
-      DataFileEntry(str(fo("path")), num(fo("bucket")).toInt,
-        num(fo("schemaId")).toInt, num(fo("rows")))
+    val manifests = o.get("manifests") match {
+      case Some(JArray(arr)) => arr.map { rv =>
+        val ro = rv.asInstanceOf[JObject].obj.toMap
+        ManifestRef(jstr(ro("path")), jnum(ro("bucket")).toInt,
+          jnum(ro("nFiles")).toInt)
+      }
+      case _ => Nil
     }
-    val hwm = o.get("epochHwm") match { // absent in icelite/1 files
-      case Some(JObject(kvs)) => kvs.map { case (k, v) => k -> num(v) }.toMap
+    // icelite/2 resolves files from manifests; icelite/1 carried them inline
+    val files =
+      if (manifests.nonEmpty) manifests.flatMap(readManifest)
+      else o.get("files") match {
+        case Some(JArray(arr)) => arr.map(fileFromJson)
+        case _ => Nil
+      }
+    val hwm = o.get("epochHwm") match { // absent in early icelite/1 files
+      case Some(JObject(kvs)) => kvs.map { case (k, v) => k -> jnum(v) }.toMap
       case _ => Map.empty[String, Long]
     }
     Metadata(
-      num(o("version")).toInt, num(o("snapshotId")), num(o("parentSnapshotId")),
-      str(o("epochKey")), str(o("operation")), num(o("currentSchemaId")).toInt,
-      num(o("numBuckets")).toInt, schemas, files,
-      o("epochLog").asInstanceOf[JArray].arr.map(str).toSet,
+      jnum(o("version")).toInt, jnum(o("snapshotId")), jnum(o("parentSnapshotId")),
+      jstr(o("epochKey")), jstr(o("operation")), jnum(o("currentSchemaId")).toInt,
+      jnum(o("numBuckets")).toInt, schemas, manifests, files,
+      o("epochLog").asInstanceOf[JArray].arr.map(jstr).toSet,
       hwm,
-      num(o("committedAtMs")))
+      jnum(o("committedAtMs")))
   }
 
-  // ---------------------------------------------------------------- paths
+  // ------------------------------------------------------------ manifests
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
   private def dataDir(dir: String): Path = Paths.get(dir, "data")
-  private def hintPath(dir: String): Path = metaDir(dir).resolve("version-hint.text")
-  private def metaPath(dir: String, v: Int): Path =
-    metaDir(dir).resolve(s"v$v.metadata.json")
 
-  def exists(dir: String): Boolean = Files.exists(hintPath(dir))
+  private val manifestSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  def currentVersion(dir: String): Int =
-    new String(Files.readAllBytes(hintPath(dir)), StandardCharsets.UTF_8).trim.toInt
+  /** Write one bucket's file list as an immutable manifest file. Uniquely
+    * named per attempt, so racing committers can never collide — a lost
+    * CAS only orphans the loser's manifests.
+    */
+  private def writeManifest(dir: String, bucket: Int,
+      files: Seq[DataFileEntry]): ManifestRef = {
+    val p = metaDir(dir).resolve(
+      s"man-${System.nanoTime()}-${manifestSeq.incrementAndGet()}-b$bucket.json")
+    val j = JObject(
+      "bucket" -> JInt(bucket),
+      "files" -> JArray(files.toList.map(fileToJson(_): JValue)))
+    Files.createDirectories(metaDir(dir))
+    Files.write(p, JsonMethods.compact(JsonMethods.render(j))
+      .getBytes(StandardCharsets.UTF_8))
+    ManifestRef(p.toString, bucket, files.size)
+  }
 
-  def load(dir: String): Metadata = loadVersion(dir, currentVersion(dir))
+  private def readManifest(r: ManifestRef): Seq[DataFileEntry] = {
+    val s = new String(Files.readAllBytes(Paths.get(r.path)),
+      StandardCharsets.UTF_8)
+    val o = JsonMethods.parse(s).asInstanceOf[JObject].obj.toMap
+    o("files").asInstanceOf[JArray].arr.map(fileFromJson)
+  }
 
-  def loadVersion(dir: String, v: Int): Metadata =
-    fromJson(new String(Files.readAllBytes(metaPath(dir, v)), StandardCharsets.UTF_8))
+  // ---------------------------------------------------------------- load
+
+  def exists(dir: String, catalog: Catalog = FileCatalog): Boolean =
+    catalog.exists(dir)
+
+  def currentVersion(dir: String, catalog: Catalog = FileCatalog): Int =
+    catalog.currentVersion(dir)
+
+  def load(dir: String, catalog: Catalog = FileCatalog): Metadata =
+    loadVersion(dir, catalog.currentVersion(dir), catalog)
+
+  def loadVersion(dir: String, v: Int,
+      catalog: Catalog = FileCatalog): Metadata =
+    fromJson(new String(catalog.readVersion(dir, v), StandardCharsets.UTF_8))
 
   // ---------------------------------------------------------------- create
 
   /** Create an empty table with user schema `struct` (field ids 1..n). */
-  def create(dir: String, struct: StructType, numBuckets: Int): Metadata = {
+  def create(dir: String, struct: StructType, numBuckets: Int,
+      catalog: Catalog = FileCatalog): Metadata = {
     Files.createDirectories(metaDir(dir))
     Files.createDirectories(dataDir(dir))
     val fields = struct.fields.zipWithIndex.map { case (f, i) =>
@@ -201,15 +274,18 @@ object IceLite {
     val m = Metadata(1, snapshotId = 1L, parentSnapshotId = 0L,
       epochKey = "create", operation = "create", currentSchemaId = 1,
       numBuckets = numBuckets, schemas = Seq(Schema(1, fields.toIndexedSeq)),
-      files = Nil, epochLog = Set("create"), epochHwm = Map.empty,
-      committedAtMs = System.currentTimeMillis())
-    writeMetadata(dir, m)
+      manifests = Nil, files = Nil, epochLog = Set("create"),
+      epochHwm = Map.empty, committedAtMs = System.currentTimeMillis())
+    require(catalog.tryPublish(dir, 1,
+      toJson(m).getBytes(StandardCharsets.UTF_8)),
+      s"table already exists at $dir")
     m
   }
 
   /** True iff `epochKey` was already committed — the replay no-op check. */
-  def hasEpoch(dir: String, epochKey: String): Boolean =
-    exists(dir) && load(dir).committedEpoch(epochKey)
+  def hasEpoch(dir: String, epochKey: String,
+      catalog: Catalog = FileCatalog): Boolean =
+    exists(dir, catalog) && load(dir, catalog).committedEpoch(epochKey)
 
   // ---------------------------------------------------------------- commit
 
@@ -218,6 +294,18 @@ object IceLite {
     * metadata unchanged if the epoch was already committed (even if the
     * process died between data-file staging and here — staged files of an
     * aborted attempt are unreachable garbage, never visible).
+    *
+    * Concurrency: optimistic. The commit is built against the loaded
+    * current version and published with the catalog's conditional create;
+    * when a concurrent committer wins the race, this committer reloads the
+    * winner's metadata, re-checks the epoch (same-epoch races collapse to
+    * the idempotent no-op) and REBASES — its bucket replacements and new
+    * files re-apply cleanly because buckets partition the key space.
+    *
+    * Metadata writes per commit: one manifest per TOUCHED bucket (touched =
+    * gaining or losing files this commit) + the manifest list — untouched
+    * buckets' manifests are carried by reference, so commit cost never
+    * scales with total live-file count.
     */
   def commit(
       dir: String,
@@ -225,50 +313,69 @@ object IceLite {
       operation: String,
       newFiles: Seq[DataFileEntry] = Nil,
       replacedBuckets: Set[Int] = Set.empty,
-      newSchema: Option[Schema] = None): Metadata = synchronized {
-    val cur = load(dir)
-    if (cur.committedEpoch(epochKey)) return cur
-    val kept = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
-    val schemas = newSchema match {
-      case Some(s) => cur.schemas :+ s
-      case None => cur.schemas
+      newSchema: Option[Schema] = None,
+      catalog: Catalog = FileCatalog,
+      maxAttempts: Int = 10): Metadata = {
+    var attempts = 0
+    while (true) {
+      val cur = load(dir, catalog)
+      if (cur.committedEpoch(epochKey)) return cur
+      val keptFiles = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
+      val keptByBucket = keptFiles.groupBy(_.bucket)
+      val newByBucket = newFiles.groupBy(_.bucket)
+      val refByBucket = cur.manifests.map(r => r.bucket -> r).toMap
+      // buckets whose file list changes this commit: gaining files, or
+      // replaced while holding files
+      val touched = newByBucket.keySet ++
+        replacedBuckets.intersect(cur.files.map(_.bucket).toSet)
+      val manifests2 = (keptByBucket.keySet ++ newByBucket.keySet)
+        .toSeq.sorted.map { b =>
+          refByBucket.get(b) match {
+            case Some(ref) if !touched.contains(b) => ref // by reference
+            case _ => // touched, or legacy inline-files metadata: (re)write
+              writeManifest(dir, b,
+                keptByBucket.getOrElse(b, Nil) ++ newByBucket.getOrElse(b, Nil))
+          }
+        }
+      val schemas = newSchema match {
+        case Some(s) => cur.schemas :+ s
+        case None => cur.schemas
+      }
+      // numeric-suffixed epochs fold into the per-prefix high-water mark
+      // (see Metadata.committedEpoch); everything else stays in the set
+      val (log2, hwm2) = splitNumericSuffix(epochKey) match {
+        case Some((p, n)) =>
+          (cur.epochLog,
+            cur.epochHwm + (p -> math.max(cur.epochHwm.getOrElse(p, -1L), n)))
+        case None => (cur.epochLog + epochKey, cur.epochHwm)
+      }
+      val m = Metadata(
+        version = cur.version + 1,
+        snapshotId = cur.snapshotId + 1,
+        parentSnapshotId = cur.snapshotId,
+        epochKey = epochKey,
+        operation = operation,
+        currentSchemaId = newSchema.map(_.schemaId).getOrElse(cur.currentSchemaId),
+        numBuckets = cur.numBuckets,
+        schemas = schemas,
+        manifests = manifests2,
+        files = keptFiles ++ newFiles,
+        epochLog = log2,
+        epochHwm = hwm2,
+        committedAtMs = System.currentTimeMillis())
+      if (catalog.tryPublish(dir, m.version,
+          toJson(m).getBytes(StandardCharsets.UTF_8))) {
+        return m
+      }
+      // lost the CAS: a concurrent committer published this version first —
+      // rebase on its metadata (this attempt's manifests become orphans)
+      attempts += 1
+      if (attempts >= maxAttempts) {
+        throw new IllegalStateException(
+          s"commit $epochKey lost the publish race $maxAttempts times at $dir")
+      }
     }
-    // numeric-suffixed epochs fold into the per-prefix high-water mark
-    // (see Metadata.committedEpoch); everything else stays in the set
-    val (log2, hwm2) = splitNumericSuffix(epochKey) match {
-      case Some((p, n)) =>
-        (cur.epochLog,
-          cur.epochHwm + (p -> math.max(cur.epochHwm.getOrElse(p, -1L), n)))
-      case None => (cur.epochLog + epochKey, cur.epochHwm)
-    }
-    val m = Metadata(
-      version = cur.version + 1,
-      snapshotId = cur.snapshotId + 1,
-      parentSnapshotId = cur.snapshotId,
-      epochKey = epochKey,
-      operation = operation,
-      currentSchemaId = newSchema.map(_.schemaId).getOrElse(cur.currentSchemaId),
-      numBuckets = cur.numBuckets,
-      schemas = schemas,
-      files = kept ++ newFiles,
-      epochLog = log2,
-      epochHwm = hwm2,
-      committedAtMs = System.currentTimeMillis())
-    writeMetadata(dir, m)
-    m
-  }
-
-  private def writeMetadata(dir: String, m: Metadata): Unit = {
-    val mp = metaPath(dir, m.version)
-    Files.write(mp, toJson(m).getBytes(StandardCharsets.UTF_8))
-    // Atomic pointer swap: write hint to a temp file, ATOMIC_MOVE over the
-    // live hint. Readers see either the old or the new version, never a
-    // partial write. (Object-store deployments: swap a catalog pointer via
-    // conditional PUT instead.)
-    val tmp = metaDir(dir).resolve(s".hint-${m.version}.tmp")
-    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, hintPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    sys.error("unreachable")
   }
 
   // ---------------------------------------------------------------- read
@@ -292,8 +399,10 @@ object IceLite {
     */
   def readInternal(spark: SparkSession, dir: String,
       version: Option[Int] = None,
-      buckets: Option[Set[Int]] = None): DataFrame = {
-    val m = version.map(loadVersion(dir, _)).getOrElse(load(dir))
+      buckets: Option[Set[Int]] = None,
+      catalog: Catalog = FileCatalog): DataFrame = {
+    val m = version.map(loadVersion(dir, _, catalog))
+      .getOrElse(load(dir, catalog))
     val target = m.currentSchema
     val wanted = buckets match {
       case Some(bs) => m.files.filter(f => bs.contains(f.bucket))
@@ -327,24 +436,26 @@ object IceLite {
   }
 
   /** Public read: current live rows (tombstones filtered, internals dropped). */
-  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
-    val df = readInternal(spark, dir, version)
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None,
+      catalog: Catalog = FileCatalog): DataFrame = {
+    val df = readInternal(spark, dir, version, catalog = catalog)
     df.filter(!col("_deleted")).drop(internalFields.map(_.name): _*)
   }
 
   /** Append-only commit of a small DataFrame (sidecar lineage/metrics
     * tables): writes one staged file set, commits under `epochKey`.
     */
-  def append(spark: SparkSession, dir: String, epochKey: String, df: DataFrame): Unit = {
-    if (!exists(dir)) create(dir, df.schema, numBuckets = 1)
-    if (hasEpoch(dir, epochKey)) return
-    val m = load(dir)
+  def append(spark: SparkSession, dir: String, epochKey: String,
+      df: DataFrame, catalog: Catalog = FileCatalog): Unit = {
+    if (!exists(dir, catalog)) create(dir, df.schema, numBuckets = 1, catalog)
+    if (hasEpoch(dir, epochKey, catalog)) return
+    val m = load(dir, catalog)
     val staged = stageFiles(dir, epochKey,
       df.withColumn("_offset", lit(null).cast(LongType))
         .withColumn("_partition", lit(null).cast(IntegerType))
         .withColumn("_deleted", lit(false)),
       bucketCol = None, schemaId = m.currentSchemaId)
-    commit(dir, epochKey, "append", newFiles = staged)
+    commit(dir, epochKey, "append", newFiles = staged, catalog = catalog)
   }
 
   /** Write `df` (which must already contain the internal columns, and a

@@ -79,18 +79,28 @@ object Dedup {
   def latestPerKeyAdaptive(events: DataFrame,
       maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val ver = struct(col("warc_ts"), col("offset"), col("partition"))
+    // localCheckpoint, NOT cache(): cache() registers the frame in the
+    // session-wide CacheManager, which holds it strongly — a per-batch
+    // replay merge would leak one cached DataFrame per batch for the
+    // session lifetime. Checkpoint blocks are owned by the RDD and freed
+    // by the ContextCleaner as soon as the returned plan is unreferenced.
+    // Eager by default, so count() and the broadcast build both read the
+    // materialized blocks instead of re-running the aggregation.
     val winners = events.groupBy(col("url")).agg(max(ver).as("_ver"))
       .select(col("url").as("_wurl"), col("_ver.warc_ts").as("_wts"),
         col("_ver.offset").as("_woff"), col("_ver.partition").as("_wpart"))
-      .cache()
+      .localCheckpoint()
     if (winners.count() <= maxBroadcastKeys) {
+      // null-safe equality (<=>): a winning event with a NULL version
+      // component must still match itself, exactly as latestPerKey keeps
+      // it (EqualNullSafe remains a hash-join-able equi key)
       events.join(broadcast(winners),
-          col("url") === col("_wurl") && col("warc_ts") === col("_wts") &&
-            col("offset") === col("_woff") && col("partition") === col("_wpart"),
+          col("url") <=> col("_wurl") && col("warc_ts") <=> col("_wts") &&
+            col("offset") <=> col("_woff") &&
+            col("partition") <=> col("_wpart"),
           "left_semi")
         .dropDuplicates("url")
     } else {
-      winners.unpersist()
       latestPerKey(events)
     }
   }

@@ -82,35 +82,41 @@ object Maintenance {
   }
 
   /** Delete metadata versions older than the newest `keepVersions`, plus
-    * every data file referenced ONLY by expired versions. Returns
-    * (metadata deleted, data files deleted).
+    * every data file and manifest referenced ONLY by expired versions
+    * (manifests are shared by reference across versions — only those no
+    * retained version names are removed). Returns
+    * (metadata deleted, data files deleted). FileCatalog layout only.
     */
   def expireSnapshots(dir: String, keepVersions: Int = 3): (Int, Int) = {
     import java.nio.file.{Files, Paths}
     val current = IceLite.currentVersion(dir)
     val cutoff = current - math.max(1, keepVersions) + 1
-    val keptFiles = (cutoff to current).flatMap { v =>
-      try IceLite.loadVersion(dir, v).files.map(_.path) catch {
-        case _: Throwable => Nil
-      }
-    }.toSet
-    var metaDeleted = 0
-    var dataDeleted = 0
-    var v = cutoff - 1
-    while (v >= 1) {
+    val kept = (cutoff to current).flatMap { v =>
+      try { Some(IceLite.loadVersion(dir, v)) } catch { case _: Throwable => None }
+    }
+    val keptFiles = kept.flatMap(_.files.map(_.path)).toSet
+    val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
+    // LOAD every expired version before deleting anything: manifests are
+    // shared across versions, so deleting while iterating would break the
+    // loadVersion of an older expired version that references the same
+    // manifest
+    val expired = (1 until cutoff).flatMap { v =>
       val mp = Paths.get(dir, "metadata", s"v$v.metadata.json")
       if (Files.exists(mp)) {
-        IceLite.loadVersion(dir, v).files.foreach { f =>
-          if (!keptFiles.contains(f.path) &&
-              Files.deleteIfExists(Paths.get(f.path))) {
-            dataDeleted += 1
-          }
-        }
-        Files.delete(mp)
-        metaDeleted += 1
-      }
-      v -= 1
+        try { Some((mp, IceLite.loadVersion(dir, v))) }
+        catch { case _: Throwable => None }
+      } else None
     }
-    (metaDeleted, dataDeleted)
+    var dataDeleted = 0
+    expired.flatMap(_._2.files.map(_.path)).distinct.foreach { p =>
+      if (!keptFiles.contains(p) && Files.deleteIfExists(Paths.get(p))) {
+        dataDeleted += 1
+      }
+    }
+    expired.flatMap(_._2.manifests.map(_.path)).distinct.foreach { p =>
+      if (!keptManifests.contains(p)) Files.deleteIfExists(Paths.get(p))
+    }
+    expired.foreach { case (mp, _) => Files.delete(mp) }
+    (expired.size, dataDeleted)
   }
 }

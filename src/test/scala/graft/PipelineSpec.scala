@@ -107,6 +107,32 @@ class PipelineSpec extends SparkTestBase {
     assert(dups.isEmpty, "no duplicate lineage rows after crash+restart")
   }
 
+  test("transformWithState dedup (custom TTL state) == watermark dedup") {
+    val cfg = Ledger.Config(seed = 41L, nEvents = 3000, nDomains = 20,
+      pagesPerDomain = 8, partitions = 2, segments = 4,
+      duplicateRate = 0.08, deleteRate = 0.05)
+    val ledger = mkLedger("pl5_ledger", cfg)
+    val wTws = tmpDir("pl5_tws")
+    try {
+      Pipeline.runToCompletion(spark,
+        pipeCfg(wTws, ledger).copy(useTransformWithState = true))
+    } finally {
+      // transformWithState forces RocksDB + no-data-batch confs; don't leak
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    val wWm = tmpDir("pl5_wm")
+    Pipeline.runToCompletion(spark, pipeCfg(wWm, ledger))
+    assert(Equivalence.diff(IceLite.read(spark, s"$wTws/pages"),
+      IceLite.read(spark, s"$wWm/pages")).isEmpty)
+    // events_in is counted AFTER dedup: both variants must have dropped
+    // exactly the wire duplicates, batch boundaries notwithstanding
+    def evIn(w: String): Long = IceLite.read(spark, s"$w/_metrics")
+      .agg(sum("events_in")).head.getLong(0)
+    assert(evIn(wTws) == evIn(wWm))
+    assert(evIn(wTws) == cfg.nEvents, "every unique event passed exactly once")
+  }
+
   test("kill before any commit of a batch: restart replays it exactly once") {
     val cfg = Ledger.Config(seed = 37L, nEvents = 1600, nDomains = 10,
       pagesPerDomain = 6, partitions = 2, segments = 4)

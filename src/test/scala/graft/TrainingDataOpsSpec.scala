@@ -135,6 +135,20 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(cc.length == 16 && cc.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: pointer jumping converges in O(log diameter) " +
+      "rounds, and non-convergence throws instead of returning wrong groups") {
+    // diameter-200 chain within 12 rounds — plain min-label propagation
+    // would need ~200; pointer jumping reaches distance 2^(r-1) by round r
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 12)
+      .collect()
+    assert(cc.length == 201 && cc.forall(_.getLong(1) == 0L))
+    // starved of rounds it must refuse, never silently emit partial labels
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 2)
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct within the rsd bound") {
     val exact = docs.select(countDistinct(col("text"))).collect()(0).getLong(0)
     val approx = docs.select(approx_count_distinct(col("text"), 0.02))
