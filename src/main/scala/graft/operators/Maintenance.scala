@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *  - [[expireSnapshots]]: every commit keeps superseded data files
   *    reachable for time travel; expiration deletes metadata versions older
   *    than the retained window plus any data file only they reference.
+  *  - [[gcOrphans]]: a committer that crashes after staging (or loses the
+  *    catalog CAS after writing manifests) leaves data files / manifests no
+  *    metadata version references. They are invisible but occupy storage
+  *    forever; GC deletes unreferenced files older than a safety age.
   *
-  * All three are ordinary epoch-keyed commits: idempotent, atomic, safe to
-  * re-run after a crash.
+  * compact/expireTombstones are ordinary epoch-keyed commits: idempotent,
+  * atomic, safe to re-run after a crash. expireSnapshots/gcOrphans only
+  * remove unreachable files, so re-running them is trivially safe.
   */
 object Maintenance {
 
@@ -118,5 +123,48 @@ object Maintenance {
     }
     expired.foreach { case (mp, _) => Files.delete(mp) }
     (expired.size, dataDeleted)
+  }
+
+  /** Delete ORPHANED files: parquet under `data/` and manifests under
+    * `metadata/` that no retained metadata version references — the debris
+    * of committers that crashed after staging or lost the publish CAS
+    * after writing manifests. Only files older than `minAgeMs` are
+    * touched: an IN-FLIGHT commit stages data and writes manifests BEFORE
+    * publishing, so a freshly-written unreferenced file may be about to
+    * become reachable — the age guard (default 1 h, generously above any
+    * commit's stage→publish window) makes the race impossible. Returns
+    * (data files deleted, manifests deleted). FileCatalog layout only.
+    */
+  def gcOrphans(dir: String, minAgeMs: Long = 3600000L): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // snapshot the reachable set BEFORE listing, so a commit landing
+    // mid-GC can only make the listing stale toward deleting LESS
+    val current = IceLite.currentVersion(dir)
+    val retained = (1 to current).flatMap { v =>
+      try { Some(IceLite.loadVersion(dir, v)) } catch { case _: Throwable => None }
+    }
+    val reachable = (retained.flatMap(_.files.map(_.path)) ++
+      retained.flatMap(_.manifests.map(_.path))).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def sweep(d: java.nio.file.Path, keep: String => Boolean): Int = {
+      if (!Files.isDirectory(d)) return 0
+      var n = 0
+      Files.list(d).iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (!keep(name) && Files.isRegularFile(p) &&
+            !reachable.contains(p.toString) &&
+            Files.getLastModifiedTime(p).toMillis < cutoff &&
+            Files.deleteIfExists(p)) {
+          n += 1
+        }
+      }
+      n
+    }
+    val data = sweep(Paths.get(dir, "data"),
+      name => !name.endsWith(".parquet")) // staging dirs handled elsewhere
+    val manifests = sweep(Paths.get(dir, "metadata"),
+      name => !name.startsWith("man-"))
+    (data, manifests)
   }
 }

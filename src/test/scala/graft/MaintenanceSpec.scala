@@ -122,6 +122,29 @@ class MaintenanceSpec extends SparkTestBase {
     bRows.foreach { case (_, _, err) => assert(err == "null-key") }
   }
 
+  test("gcOrphans deletes aged crash debris, never reachable or fresh files") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val (_, table, _) = freshReplay(800, 1, "gc")
+    val live = IceLite.read(spark, table).collect().length
+    // plant debris: an aged orphan data file + manifest (a crashed commit),
+    // and a FRESH orphan (an in-flight commit's staging — must survive)
+    val oldData = Paths.get(table, "data", "crashed-b0-0.parquet")
+    val oldMan = Paths.get(table, "metadata", "man-0-0-b0.json")
+    val freshData = Paths.get(table, "data", "inflight-b1-0.parquet")
+    Seq(oldData, oldMan, freshData).foreach(p => Files.write(p, Array[Byte](1)))
+    val aged = FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    Seq(oldData, oldMan).foreach(p => Files.setLastModifiedTime(p, aged))
+    val (d, m) = Maintenance.gcOrphans(table, minAgeMs = 3600000L)
+    assert(d == 1 && m == 1, s"deleted data=$d manifests=$m")
+    assert(!Files.exists(oldData) && !Files.exists(oldMan))
+    assert(Files.exists(freshData), "fresh unreferenced file kept (age guard)")
+    // every reachable file survived: table reads identically, history intact
+    assert(IceLite.read(spark, table).collect().length == live)
+    assert(IceLite.readInternal(spark, table,
+      version = Some(IceLite.currentVersion(table) - 1)).count() >= 0)
+  }
+
   test("streaming with RocksDB state store matches batch replay") {
     val cfg = Ledger.Config(seed = 91L, nEvents = 1200, nDomains = 8,
       pagesPerDomain = 6, partitions = 2, segments = 2, duplicateRate = 0.08)
