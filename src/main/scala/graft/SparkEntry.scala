@@ -426,7 +426,11 @@ object SparkEntry {
       // SAME minhash+LSH pipeline with the portable hash family: DuckDB
       // re-derives signatures, bands, candidates and estimates from
       // scratch and must land on the bit-identical pair set (est values
-      // are k=16ths — exact in binary, no rounding risk)
+      // are k=16ths — exact in binary, no rounding risk). k INDEPENDENT
+      // salted md5s, not Carter-Wegman double hashing: h1 + i·h2 was
+      // measured to band-collide 4x more (134,758 vs 33,058 candidate
+      // pairs at sf0.001) — the candidate JOIN, not the hashing,
+      // dominates, so the correlated family ran 4x slower end-to-end.
       DedupOps.minhashCandidates(t(s, d, "documents"), "doc_id", "text",
         bands = 2, rowsPerBand = 8, minEstimate = 0.9,
         hashFn = DedupOps.portableHash)),
