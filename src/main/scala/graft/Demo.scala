@@ -79,6 +79,16 @@ object Demo {
       s"schema=${m.currentSchema.struct.simpleString}")
     println(s"=== live rows: ${live.count()}")
     live.orderBy("url").show(10, 60)
+    // the Data Source surface reads the same table through format("icelite")
+    // and plain SQL — counts must agree with the engine read above.
+    // (SQL reaches a DSv1 source via CREATE TABLE USING; the
+    // `icelite.`path`` SQL-on-file shorthand is file-format-only in Spark.)
+    spark.sql("DROP TABLE IF EXISTS demo_pages")
+    spark.sql(s"CREATE TABLE demo_pages USING icelite OPTIONS (path '$table')")
+    val dsCount = spark.read.format("icelite").load(table).count()
+    val sqlCount = spark.sql("SELECT count(*) FROM demo_pages").head.getLong(0)
+    println(s"=== data source: format(\"icelite\") rows=$dsCount, " +
+      s"SQL table rows=$sqlCount")
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * named per attempt, so plain writes (object PUTs) suffice; a lost race
   * only orphans them.
   */
+/** A read-then-replace commit found its replaced buckets (or schema id)
+  * modified by a concurrent committer — the caller must re-read the table
+  * and re-execute its operation (see [[IceLite.commit]]).
+  */
+class CommitConflictException(message: String)
+  extends RuntimeException(message)
+
 trait Catalog {
   /** Atomically create metadata version `v` iff it does not exist.
     * @return true iff THIS call created it (the CAS succeeded). */

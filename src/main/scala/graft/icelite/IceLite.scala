@@ -299,8 +299,18 @@ object IceLite {
     * current version and published with the catalog's conditional create;
     * when a concurrent committer wins the race, this committer reloads the
     * winner's metadata, re-checks the epoch (same-epoch races collapse to
-    * the idempotent no-op) and REBASES — its bucket replacements and new
-    * files re-apply cleanly because buckets partition the key space.
+    * the idempotent no-op) and REBASES.
+    *
+    * A rebase is only sound when this commit's files do not DEPEND on
+    * table contents another committer may have changed: purely ADDITIVE
+    * commits (no `replacedBuckets`) always rebase cleanly, but a commit
+    * that REPLACES buckets computed its new files from those buckets'
+    * prior contents. Callers that read-then-replace must pass
+    * `baseVersion` = the version they read; if any replaced bucket
+    * changed between base and current (a concurrent merge, compact, GC…),
+    * the commit throws [[CommitConflictException]] instead of silently
+    * clobbering the other committer's rows — the caller re-reads and
+    * re-executes (Iceberg's serializable-isolation validation, same idea).
     *
     * Metadata writes per commit: one manifest per TOUCHED bucket (touched =
     * gaining or losing files this commit) + the manifest list — untouched
@@ -315,11 +325,31 @@ object IceLite {
       replacedBuckets: Set[Int] = Set.empty,
       newSchema: Option[Schema] = None,
       catalog: Catalog = FileCatalog,
-      maxAttempts: Int = 10): Metadata = {
+      maxAttempts: Int = 10,
+      baseVersion: Option[Int] = None): Metadata = {
     var attempts = 0
     while (true) {
       val cur = load(dir, catalog)
       if (cur.committedEpoch(epochKey)) return cur
+      baseVersion.filter(_ != cur.version).foreach { bv =>
+        val base = loadVersion(dir, bv, catalog)
+        def replacedFiles(m: Metadata) =
+          m.files.filter(f => replacedBuckets.contains(f.bucket))
+            .map(_.path).toSet
+        if (replacedFiles(cur) != replacedFiles(base)) {
+          throw new CommitConflictException(
+            s"commit $epochKey based on v$bv replaces buckets " +
+              s"modified by a concurrent commit (now v${cur.version}) — " +
+              "re-read and re-execute")
+        }
+      }
+      // racing schema evolutions would mint colliding schema ids
+      newSchema.filter(s => cur.schemas.exists(_.schemaId == s.schemaId))
+        .foreach { s =>
+          throw new CommitConflictException(
+            s"schema id ${s.schemaId} already exists at v${cur.version} — " +
+              "a concurrent ALTER won; re-derive the evolution")
+        }
       val keptFiles = cur.files.filterNot(f => replacedBuckets.contains(f.bucket))
       val keptByBucket = keptFiles.groupBy(_.bucket)
       val newByBucket = newFiles.groupBy(_.bucket)

@@ -29,11 +29,32 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Re-run `body` when its read-then-replace commit loses to a concurrent
+    * state-changing commit (the [[graft.icelite.CommitConflictException]]
+    * validation): maintenance is state-preserving, so re-executing against
+    * the new current version is always the right response.
+    */
+  private def retryOnConflict[A](attempts: Int = 3)(body: => A): A = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: graft.icelite.CommitConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Rewrite every bucket with more than `maxFilesPerBucket` live files.
-    * Returns the number of buckets compacted.
+    * Returns the number of buckets compacted. Safe to run CONCURRENTLY
+    * with ingest: the commit is validated against the version the rows
+    * were read from, so a merge landing mid-compaction makes this attempt
+    * conflict and re-execute rather than clobber the merge's rows.
     */
   def compact(spark: SparkSession, dir: String, epochKey: String,
-      maxFilesPerBucket: Int = 4): Int = {
+      maxFilesPerBucket: Int = 4): Int = retryOnConflict() {
     val m = IceLite.load(dir)
     if (m.committedEpoch(epochKey)) return 0
     val crowded = m.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
@@ -47,7 +68,7 @@ object Maintenance {
       rows.repartition(col("_bucket")), bucketCol = Some("_bucket"),
       schemaId = m.currentSchemaId)
     IceLite.commit(dir, epochKey, "compact", newFiles = staged,
-      replacedBuckets = crowded)
+      replacedBuckets = crowded, baseVersion = Some(m.version))
     crowded.size
   }
 
@@ -57,7 +78,7 @@ object Maintenance {
     * arrival after that would resurrect a deleted url.
     */
   def expireTombstones(spark: SparkSession, dir: String, epochKey: String,
-      olderThan: java.sql.Timestamp): Long = {
+      olderThan: java.sql.Timestamp): Long = retryOnConflict() {
     val m = IceLite.load(dir)
     if (m.committedEpoch(epochKey)) return 0L
     val tsName = m.currentSchema.fields.find(_.id == Merge.versionFieldId)
@@ -82,7 +103,7 @@ object Maintenance {
         .filter(!expired).repartition(col("_bucket")),
       bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
     IceLite.commit(dir, epochKey, "expire-tombstones", newFiles = staged,
-      replacedBuckets = touched)
+      replacedBuckets = touched, baseVersion = Some(m.version))
     dropped
   }
 

@@ -147,7 +147,8 @@ object Merge {
       val staged = IceLite.stageFiles(tableDir, epochKey, withText,
         bucketCol = Some("_bucket"), schemaId = schema.schemaId)
       val post = IceLite.commit(tableDir, epochKey, "merge",
-        newFiles = staged, replacedBuckets = (0 until nBuckets).toSet)
+        newFiles = staged, replacedBuckets = (0 until nBuckets).toSet,
+        baseVersion = Some(pre.version))
       return CommitResult(epochKey, committed = post.epochKey == epochKey,
         post.snapshotId, (0 until nBuckets).toSet, eventsIn = -1L,
         rowsUpserted = -1L, rowsDeleted = -1L, lineage = Nil)
@@ -200,8 +201,12 @@ object Merge {
       bucketCol = Some("_bucket"), schemaId = schema.schemaId)
     newRows.unpersist()
 
+    // baseVersion: the merged content was computed from `pre`'s bucket
+    // files — a concurrent commit into an affected bucket means those rows
+    // are stale and the commit must conflict, not clobber
     val post = IceLite.commit(tableDir, epochKey, "merge",
-      newFiles = staged, replacedBuckets = affected)
+      newFiles = staged, replacedBuckets = affected,
+      baseVersion = Some(pre.version))
     CommitResult(epochKey, committed = post.epochKey == epochKey,
       post.snapshotId, affected, eventsIn = -1L,
       rowsUpserted = applied - deletes, rowsDeleted = deletes, lineage)

@@ -122,6 +122,36 @@ class MaintenanceSpec extends SparkTestBase {
     bRows.foreach { case (_, _, err) => assert(err == "null-key") }
   }
 
+  test("commit conflict: a stale state-preserving rewrite cannot clobber a " +
+      "racing merge; re-executed compaction converges") {
+    import graft.icelite.CommitConflictException
+    val (_, table, cfg) = freshReplay(800, 2, "cfl")
+    // a slow compaction: read + stage the rewrite against version v ...
+    val m = IceLite.load(table)
+    val crowded = m.files.map(_.bucket).toSet
+    val keyName = m.currentSchema.fields.head.name
+    val rows = IceLite.readInternal(spark, table, buckets = Some(crowded))
+      .withColumn("_bucket",
+        graft.functions.Salt.bucket(col(keyName), m.numBuckets))
+    val staged = IceLite.stageFiles(table, "slow-compact", rows,
+      Some("_bucket"), m.currentSchemaId)
+    // ... while a merge lands NEW rows into the same buckets
+    import spark.implicits._
+    val more = Ledger.events(spark, cfg.copy(seed = 99L, nEvents = 200)).toDF()
+    graft.operators.Merge(spark, table, more, "cfl-merge")
+    val after = IceLite.read(spark, table).count()
+    // the stale compaction must be REFUSED — its files lack the merge's rows
+    intercept[CommitConflictException] {
+      IceLite.commit(table, "slow-compact", "compact", staged,
+        replacedBuckets = crowded, baseVersion = Some(m.version))
+    }
+    assert(IceLite.read(spark, table).count() == after, "merge rows intact")
+    // compact()'s own retry loop re-reads the NEW version and succeeds
+    Maintenance.compact(spark, table, "cfl-compact", maxFilesPerBucket = 1)
+    assert(IceLite.read(spark, table).count() == after,
+      "re-executed compaction preserves state")
+  }
+
   test("gcOrphans deletes aged crash debris, never reachable or fresh files") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
