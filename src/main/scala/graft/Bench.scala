@@ -39,6 +39,7 @@ object Bench {
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", fastDir())
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .appName(s"thorspark-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -323,6 +324,7 @@ object BenchChild {
     val cores = coresS.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
       .appName(s"thorspark-bench-child-$cores")
       .config("spark.sql.shuffle.partitions", coresS)
       .config("spark.sql.session.timeZone", "UTC")

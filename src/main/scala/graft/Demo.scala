@@ -89,6 +89,29 @@ object Demo {
     val sqlCount = spark.sql("SELECT count(*) FROM demo_pages").head.getLong(0)
     println(s"=== data source: format(\"icelite\") rows=$dsCount, " +
       s"SQL table rows=$sqlCount")
+    // SQL MERGE INTO surface (GraftExtensions): conditional update +
+    // insert-if-absent — written so a re-run is a detected no-op (no new
+    // commit), keeping the version-hint idempotence probe intact
+    // exclude this block's own inserted row: the re-run must pick the SAME
+    // url, or the statement oscillates instead of no-opping
+    val firstUrl = spark.sql("""SELECT url FROM demo_pages
+        WHERE url NOT LIKE 'https://demo.invalid%'
+        ORDER BY url LIMIT 1""").head.getString(0)
+    import spark.implicits._
+    Seq((firstUrl, "xx"), ("https://demo.invalid/merged", "yy"))
+      .toDF("u", "l").createOrReplaceTempView("demo_merge_src")
+    spark.sql("""
+      MERGE INTO demo_pages t USING demo_merge_src s ON t.url = s.u
+      WHEN MATCHED AND t.lang IS DISTINCT FROM s.l
+        THEN UPDATE SET t.lang = s.l
+      WHEN NOT MATCHED THEN INSERT (url, lang) VALUES (s.u, s.l)
+    """)
+    val mergedLang = spark.sql(
+      s"SELECT lang FROM demo_pages WHERE url = '$firstUrl'").head.getString(0)
+    val mergedRows = spark.sql("SELECT count(*) FROM demo_pages")
+      .head.getLong(0)
+    println(s"=== sql merge: rows=$mergedRows, lang(first)=$mergedLang, " +
+      s"version=${IceLite.currentVersion(table)}")
     spark.stop()
   }
 }

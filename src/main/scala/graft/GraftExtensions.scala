@@ -15,10 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   * }}}
   *
-  * Currently injects the native `extract_text` expression for SQL use.
-  * (No custom planner strategies or logical rules are registered: the
-  * engine's MERGE is deliberately expressed as Catalyst-planned dataflow —
-  * SURVEY.md §4.3 — so there is nothing the optimizer needs taught.)
+  * Injects the native `extract_text` expression for SQL use, and the SQL
+  * DML surface for icelite tables (`MERGE INTO`, `UPDATE`, `DELETE FROM`):
+  * Spark's analyzer fully resolves all three over a v1 relation (only the
+  * planner rejects them), so ONE post-hoc resolution rule rewrites the
+  * resolved plans into eager commands — see `operators/SqlMerge.scala`.
+  * (No custom planner strategies: the engine's CDC merge remains
+  * Catalyst-planned dataflow — SURVEY.md §4.3.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -27,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExtractTextExpression].getName,
         "extract_text"),
       (children: Seq[Expression]) => ExtractTextExpression(children.head)))
+    ext.injectPostHocResolutionRule(_ => new graft.operators.SqlDmlRule)
   }
 }

@@ -14,6 +14,7 @@ object Plans {
         "merge_join", "dedup_jaccard", "ann_cosine", "tumbling_window")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

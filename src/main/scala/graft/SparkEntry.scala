@@ -514,7 +514,41 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")),
         "doc_id", "payload")
-        .select(col("media_id"), col("n_bytes"))))
+        .select(col("media_id"), col("n_bytes"))),
+
+    "sql_merge" -> ((s, d) => {
+      // the SQL MERGE INTO surface (operators/SqlMerge), oracle-checked:
+      // build an icelite table from even custkeys, MERGE a source of
+      // every-3rd custkey (conditional delete + update + insert), return
+      // the final table state; the DuckDB oracle recomputes the same
+      // semantics as join dataflow. Doubles stay bit-identical: *2 is
+      // exact, no cross-engine rounding enters.
+      val cust = t(s, d, "customer")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sql_merge").toString
+      val tgt = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.icelite.IceLite.create(dir, tgt.schema, numBuckets = 4)
+      tgt.write.format("icelite").option("epoch", "init.1")
+        .mode("append").save(dir)
+      val tbl = s"sql_merge_tgt_${System.nanoTime()}"
+      s.sql(s"CREATE TABLE $tbl USING icelite OPTIONS (path '$dir')")
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") * 2).as("nb"))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(s"""
+        MERGE INTO $tbl tg USING sql_merge_src sr ON tg.c_custkey = sr.k
+        WHEN MATCHED AND sr.nb > 9000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET tg.c_acctbal = sr.nb
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal) VALUES (sr.k, 'merged', sr.nb)
+      """)
+      val out = graft.icelite.IceLite.read(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same table names (driver registers each
@@ -880,6 +914,24 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(strlen(text) AS INTEGER) AS n_bytes
          FROM documents""",
+
+    "sql_merge" ->
+      // MERGE semantics re-derived as join dataflow: matched rows take
+      // the first firing clause (delete if nb>9000, else update),
+      // unmatched targets survive, unmatched sources insert
+      """WITH tg AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                     WHERE c_custkey % 2 = 0),
+            sr AS (SELECT c_custkey AS k, c_acctbal * 2 AS nb FROM customer
+                   WHERE c_custkey % 3 = 0)
+         SELECT tg.c_custkey AS custkey, tg.c_name AS name,
+                CASE WHEN sr.k IS NOT NULL THEN sr.nb
+                     ELSE tg.c_acctbal END AS bal
+         FROM tg LEFT JOIN sr ON tg.c_custkey = sr.k
+         WHERE sr.k IS NULL OR sr.nb <= 9000
+         UNION ALL
+         SELECT sr.k AS custkey, 'merged' AS name, sr.nb AS bal
+         FROM sr LEFT JOIN tg ON sr.k = tg.c_custkey
+         WHERE tg.c_custkey IS NULL""",
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,

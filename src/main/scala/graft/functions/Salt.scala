@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.functions._
 
 /** Explicit skew handling (BASELINE.json north_rule: "salted repartitioning
@@ -25,4 +26,22 @@ object Salt {
   /** Salted shuffle key: deterministic, derived from (url-bucket, rowSalt). */
   def salted(url: Column, rowSalt: Column, nBuckets: Int, nSalts: Int): Column =
     bucket(url, nBuckets) * lit(nSalts) + pmod(rowSalt, lit(nSalts)).cast("int")
+
+  /** [[bucket]] of one literal key, evaluated DRIVER-SIDE (metadata/bucket
+    * pruning from point predicates). Built from the same Catalyst
+    * expressions `bucket`'s Column resolves to — `cast(pmod(xxhash64(v),
+    * n) as int)`, seed 42 — because a Column built from
+    * `functions.xxhash64` holds an UNRESOLVED function until the analyzer
+    * runs and cannot be `eval`'d directly. The data-source pruning spec
+    * pins read/write agreement by destroying every other bucket's files.
+    */
+  def bucketOfLiteral(l: expressions.Literal, nBuckets: Int): Int =
+    expressions.Cast(
+      expressions.Pmod(new expressions.XxHash64(Seq(l)),
+        expressions.Literal(nBuckets.toLong)),
+      org.apache.spark.sql.types.IntegerType).eval(null).asInstanceOf[Int]
+
+  /** [[bucketOfLiteral]] over a plain Scala/Java value. */
+  def bucketOfValue(v: Any, nBuckets: Int): Int =
+    bucketOfLiteral(expressions.Literal(v), nBuckets)
 }

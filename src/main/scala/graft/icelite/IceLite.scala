@@ -472,19 +472,29 @@ object IceLite {
     df.filter(!col("_deleted")).drop(internalFields.map(_.name): _*)
   }
 
-  /** Append-only commit of a small DataFrame (sidecar lineage/metrics
-    * tables): writes one staged file set, commits under `epochKey`.
+  /** Append-only commit of a DataFrame (sidecar lineage/metrics tables,
+    * `INSERT INTO` / `save` through the data source): writes one staged
+    * file set, commits under `epochKey`.
+    *
+    * LAYOUT INVARIANT: every writer buckets rows by
+    * `Salt.bucket(key, numBuckets)` (key = first schema field), so a
+    * key's rows live ONLY in its bucket's files — bucket-scoped rewrites
+    * (merge, SQL MERGE, compaction) and bucket-pruned scans depend on it.
+    * Single-bucket tables degenerate to bucket 0 unchanged.
     */
   def append(spark: SparkSession, dir: String, epochKey: String,
       df: DataFrame, catalog: Catalog = FileCatalog): Unit = {
     if (!exists(dir, catalog)) create(dir, df.schema, numBuckets = 1, catalog)
     if (hasEpoch(dir, epochKey, catalog)) return
     val m = load(dir, catalog)
+    val keyName = m.currentSchema.fields.head.name
     val staged = stageFiles(dir, epochKey,
       df.withColumn("_offset", lit(null).cast(LongType))
         .withColumn("_partition", lit(null).cast(IntegerType))
-        .withColumn("_deleted", lit(false)),
-      bucketCol = None, schemaId = m.currentSchemaId)
+        .withColumn("_deleted", lit(false))
+        .withColumn("_bucket",
+          graft.functions.Salt.bucket(col(keyName), m.numBuckets)),
+      bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
     commit(dir, epochKey, "append", newFiles = staged, catalog = catalog)
   }
 

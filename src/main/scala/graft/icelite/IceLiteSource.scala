@@ -30,9 +30,31 @@ import org.apache.spark.sql.types.StructType
   * `operators.Merge`.
   */
 class IceLiteSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "icelite"
+
+  /** `df.writeStream.format("icelite")`: append-only streaming sink.
+    * Each micro-batch is one epoch-keyed commit `<epochPrefix>.<batchId>`
+    * — batch ids are monotone per checkpoint (Structured Streaming's WAL
+    * contract), so the keys fold into the per-prefix high-water mark and
+    * a crash/restart replaying the tail batch is an exact no-op:
+    * exactly-once without any sink-side log. Richer per-batch effects
+    * (conditional MERGE, lineage, metrics) belong to `streaming.Pipeline`
+    * (foreachBatch); this sink is the idiomatic surface for plain
+    * append-shaped streams.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"icelite sink: Append output mode only (got $outputMode) — " +
+        "aggregating streams go through streaming.Pipeline/foreachBatch")
+    new IceLiteStreamSink(sqlContext.sparkSession, path(parameters),
+      parameters.getOrElse("epochPrefix", "stream.sink"))
+  }
 
   private def path(parameters: Map[String, String]): String = {
     val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -57,8 +79,12 @@ class IceLiteSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val dir = path(parameters)
     val spark = sqlContext.sparkSession
+    // unkeyed saves get a wall-clock-unique key with a NON-numeric suffix:
+    // numeric suffixes fold into the per-prefix epoch high-water mark,
+    // where two unrelated concurrent saves could mask each other
     val epoch = parameters.getOrElse("epoch",
-      s"save.${System.currentTimeMillis()}")
+      s"save.${System.currentTimeMillis()}-${Integer.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextInt())}")
     val tableExists = IceLite.exists(dir)
     mode match {
       case SaveMode.ErrorIfExists if tableExists =>
@@ -68,10 +94,15 @@ class IceLiteSource extends RelationProvider
         if (!tableExists) IceLite.create(dir, data.schema, numBuckets = 1)
         if (!IceLite.hasEpoch(dir, epoch)) {
           val m = IceLite.load(dir)
-          val staged = IceLite.stageFiles(dir, epoch, withInternals(data),
-            bucketCol = None, schemaId = m.currentSchemaId)
+          // bucket by key: see the layout invariant on IceLite.append
+          val keyName = m.currentSchema.fields.head.name
+          val bucketed = withInternals(data).withColumn("_bucket",
+            graft.functions.Salt.bucket(
+              org.apache.spark.sql.functions.col(keyName), m.numBuckets))
+          val staged = IceLite.stageFiles(dir, epoch, bucketed,
+            bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
           IceLite.commit(dir, epoch, "overwrite", newFiles = staged,
-            replacedBuckets = m.files.map(_.bucket).toSet)
+            replacedBuckets = (0 until m.numBuckets).toSet)
         }
       case _ => // Append / ErrorIfExists / Ignore on a fresh table
         IceLite.append(spark, dir, epoch, data)
@@ -87,14 +118,35 @@ class IceLiteSource extends RelationProvider
   }
 }
 
+/** Append-only streaming sink: one idempotent epoch-keyed commit per
+  * micro-batch (see [[IceLiteSource.createSink]]).
+  */
+class IceLiteStreamSink(spark: org.apache.spark.sql.SparkSession,
+    dir: String, epochPrefix: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.PlanBridge
+      .rebindBatch(spark, data)
+    IceLite.append(spark, dir, s"$epochPrefix.$batchId", batch)
+  }
+  override def toString: String = s"IceLiteSink[$dir]"
+}
+
 /** Read relation: current (or time-travel) live rows, reconciled to that
-  * version's schema. `PrunedScan` so SELECTed columns prune through the
-  * inner plan down to the parquet `ReadSchema`; `InsertableRelation` so
+  * version's schema. `PrunedFilteredScan`: SELECTed columns prune through
+  * the inner plan down to the parquet `ReadSchema`, and pushed filters are
+  * applied INSIDE the inner plan so Catalyst forwards them to the parquet
+  * readers (`PushedFilters` on the physical scan — row groups skip via
+  * parquet statistics). Equality/IN filters on the table's key column
+  * additionally prune the METADATA file list to the keys' storage buckets
+  * (`pmod(xxhash64(key), nBuckets)` evaluated driver-side with the same
+  * Catalyst expression the writer used): a point lookup on a 10^5-bucket
+  * table opens a handful of files, not the table. `InsertableRelation` so
   * SQL `INSERT INTO` lands as an epoch-keyed append commit.
   */
 case class IceLiteRelation(sqlContext: SQLContext, dir: String,
     version: Option[Int]) extends BaseRelation
-    with PrunedScan with InsertableRelation {
+    with PrunedFilteredScan with InsertableRelation {
 
   override def schema: StructType = {
     val m = version.map(IceLite.loadVersion(dir, _))
@@ -102,21 +154,73 @@ case class IceLiteRelation(sqlContext: SQLContext, dir: String,
     m.currentSchema.struct
   }
 
-  private def df: DataFrame =
-    IceLite.read(sqlContext.sparkSession, dir, version)
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
 
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
-    val base = df
+  /** Exact Column translation of a pushed source filter, when possible.
+    * A translated filter is applied verbatim inside the inner plan, so it
+    * is fully handled; untranslated ones are re-applied by Spark above.
+    */
+  private def toCol(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(sub) => toCol(sub).map(!_)
+    case Or(l, r) => for { lc <- toCol(l); rc <- toCol(r) } yield lc || rc
+    case And(l, r) => for { lc <- toCol(l); rc <- toCol(r) } yield lc && rc
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(toCol(_).isEmpty)
+
+  private def bucketOf(v: Any, nBuckets: Int): Int =
+    graft.functions.Salt.bucketOfValue(v, nBuckets)
+
+  /** Buckets implied by key filters (the filter array is an implicit AND,
+    * so any single key-pinning conjunct bounds the scan). */
+  private def keyBuckets(filters: Array[Filter], keyName: String,
+      nBuckets: Int): Option[Set[Int]] =
+    filters.collectFirst {
+      case EqualTo(a, v) if a == keyName && v != null =>
+        Set(bucketOf(v, nBuckets))
+      case EqualNullSafe(a, v) if a == keyName && v != null =>
+        Set(bucketOf(v, nBuckets))
+      case In(a, vs) if a == keyName =>
+        vs.filter(_ != null).map(bucketOf(_, nBuckets)).toSet
+    }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val m = version.map(IceLite.loadVersion(dir, _)).getOrElse(IceLite.load(dir))
+    val buckets = keyBuckets(filters, m.currentSchema.fields.head.name,
+      m.numBuckets)
+    val base = IceLite.readInternal(spark, dir, version, buckets)
+      .filter(!col("_deleted"))
+      .drop(IceLite.internalFields.map(_.name): _*)
+    val filtered = filters.flatMap(toCol).foldLeft(base)(_ filter _)
     // DSv1 contract: empty projection still needs correctly-counted rows
-    if (requiredColumns.isEmpty) base.rdd
-    else base.select(requiredColumns.head, requiredColumns.tail: _*).rdd
+    if (requiredColumns.isEmpty) filtered.rdd
+    else filtered.select(requiredColumns.head, requiredColumns.tail: _*).rdd
   }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(!overwrite,
       "icelite: INSERT OVERWRITE not supported — use the Merge operator " +
         "or DataFrame save(Overwrite) with an epoch option")
+    // non-numeric suffix: see the save() epoch note
     IceLite.append(sqlContext.sparkSession, dir,
-      s"insert.${System.currentTimeMillis()}", data)
+      s"insert.${System.currentTimeMillis()}-${Integer.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextInt())}", data)
   }
 }

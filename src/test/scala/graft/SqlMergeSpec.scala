@@ -1,0 +1,234 @@
+package graft
+
+import graft.functions.Salt
+import graft.icelite.IceLite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SQL `MERGE INTO` surface (operators/SqlMerge): standard MERGE
+  * semantics over icelite tables through plain `spark.sql`, with
+  * bucket-scoped rewrites and serializable commits.
+  */
+class SqlMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private var n = 0
+
+  /** Fresh icelite table registered in the session catalog; returns
+    * (sql table name, table dir). Rows: (url, v, tag, deleted).
+    */
+  private def mkTable(nBuckets: Int,
+      rows: Seq[(String, Long, String, Boolean)]): (String, String) = {
+    val dir = tmpDir("sqlmerge")
+    val struct = StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("tag", StringType, nullable = true)))
+    IceLite.create(dir, struct, nBuckets)
+    val m = IceLite.load(dir)
+    val df = rows.toDF("url", "v", "tag", "_deleted")
+      .withColumn("_offset", (col("v") * 10).cast(LongType))
+      .withColumn("_partition", lit(0).cast(IntegerType))
+      .withColumn("_bucket", Salt.bucket(col("url"), nBuckets))
+      .select("url", "v", "tag", "_offset", "_partition", "_deleted",
+        "_bucket")
+    val staged = IceLite.stageFiles(dir, "init.1", df, Some("_bucket"),
+      m.currentSchemaId)
+    IceLite.commit(dir, "init.1", "append", newFiles = staged)
+    n += 1
+    val name = s"sqlmerge_t$n"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING icelite OPTIONS (path '$dir')")
+    (name, dir)
+  }
+
+  private def state(dir: String): Map[String, (Long, String)] =
+    IceLite.read(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("update + insert + delete in one statement") {
+    val (t, dir) = mkTable(4, Seq(
+      ("a", 1L, "old", false), ("b", 2L, "old", false),
+      ("c", 3L, "old", false)))
+    Seq(("a", 10L), ("c", 30L), ("d", 40L)).toDF("u", "nv")
+      .createOrReplaceTempView("src1")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src1 s ON tg.url = s.u
+      WHEN MATCHED AND s.nv >= 30 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv, tg.tag = 'upd'
+      WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.nv, 'ins')
+    """)
+    assert(state(dir) === Map(
+      "a" -> (10L, "upd"), "b" -> (2L, "old"), "d" -> (40L, "ins")))
+    val m = IceLite.load(dir)
+    assert(m.operation == "sqlmerge")
+    // unassigned insert columns default to null; updated rows keep their
+    // stored CDC position, inserted rows have none
+    val pos = IceLite.readInternal(spark, dir).filter(!col("_deleted"))
+      .select("url", "_offset").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(pos("a") == 10L && pos("b") == 20L && pos("d") == -1L)
+  }
+
+  test("clause order gives priority; SELECT sees the merge through SQL") {
+    val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
+    Seq(("a", 5L)).toDF("u", "nv").createOrReplaceTempView("src2")
+    // both clauses match; the FIRST wins (update, not delete)
+    spark.sql(s"""
+      MERGE INTO $t tg USING src2 s ON tg.url = s.u
+      WHEN MATCHED AND s.nv > 0 THEN UPDATE SET tg.v = s.nv
+      WHEN MATCHED THEN DELETE
+    """)
+    assert(state(dir) === Map("a" -> (5L, "x")))
+    assert(spark.sql(s"SELECT v FROM $t WHERE url = 'a'")
+      .head.getLong(0) == 5L)
+  }
+
+  test("NOT MATCHED BY SOURCE update and delete") {
+    val (t, dir) = mkTable(2, Seq(
+      ("a", 1L, "x", false), ("b", 2L, "x", false), ("c", 9L, "x", false)))
+    Seq(("a", 10L)).toDF("u", "nv").createOrReplaceTempView("src3")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src3 s ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+      WHEN NOT MATCHED BY SOURCE AND tg.v > 5 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tg.tag = 'stale'
+    """)
+    assert(state(dir) === Map("a" -> (10L, "x"), "b" -> (2L, "stale")))
+  }
+
+  test("multiple matches: no firing clause keeps the row ONCE; a firing " +
+      "update errors (cardinality violation)") {
+    val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
+    Seq(("a", 1L), ("a", 2L)).toDF("u", "nv").createOrReplaceTempView("src4")
+    // conditions never fire -> target row must survive exactly once
+    spark.sql(s"""
+      MERGE INTO $t tg USING src4 s ON tg.url = s.u
+      WHEN MATCHED AND s.nv > 99 THEN DELETE
+    """)
+    assert(IceLite.read(spark, dir).filter($"url" === "a").count() == 1)
+    assert(state(dir) === Map("a" -> (1L, "x")))
+    // two copies firing -> error, and the table is untouched
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t tg USING src4 s ON tg.url = s.u
+        WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+      """)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("cardinality")))
+    assert(state(dir) === Map("a" -> (1L, "x")))
+  }
+
+  test("bucket-scoped rewrite with scan pruning: untouched buckets keep " +
+      "their exact files") {
+    val urls = (0 until 40).map(i => s"u$i")
+    val (t, dir) = mkTable(8, urls.map(u => (u, 1L, "x", false)))
+    val before = IceLite.load(dir)
+    Seq(("u7", 70L), ("zz9", 99L)).toDF("u", "nv")
+      .createOrReplaceTempView("src5")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src5 s ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+      WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.nv, 'ins')
+    """)
+    val after = IceLite.load(dir)
+    // the only buckets whose file sets changed are the two key buckets
+    val changedBuckets = (0 until 8).filter { b =>
+      before.files.filter(_.bucket == b).map(_.path).toSet !=
+        after.files.filter(_.bucket == b).map(_.path).toSet
+    }.toSet
+    val keyBuckets = Seq("u7", "zz9")
+      .map(u => spark.range(1)
+        .select(Salt.bucket(lit(u), 8)).head.getInt(0)).toSet
+    assert(changedBuckets == keyBuckets)
+    assert(state(dir).get("u7").contains((70L, "x")))
+    assert(state(dir).get("zz9").contains((99L, "ins")))
+    assert(state(dir).size == 41)
+  }
+
+  test("tombstones in rewritten buckets survive unless the key is " +
+      "re-inserted") {
+    val (t, dir) = mkTable(1, Seq(
+      ("live", 1L, "x", false), ("dead1", 2L, "x", true),
+      ("dead2", 3L, "x", true)))
+    Seq(("live", 10L), ("dead2", 30L)).toDF("u", "nv")
+      .createOrReplaceTempView("src6")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src6 s ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+      WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.nv, 'ins')
+    """)
+    // dead2 was tombstoned -> invisible to MERGE -> re-inserted live,
+    // its tombstone dropped; dead1's tombstone must survive the rewrite
+    val internal = IceLite.readInternal(spark, dir)
+      .select("url", "_deleted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(internal == Set(("live", false), ("dead2", false),
+      ("dead1", true)))
+    assert(state(dir) === Map("live" -> (10L, "x"), "dead2" -> (30L, "ins")))
+  }
+
+  test("UPDATE: conditional set, scan pruned to the key's bucket, " +
+      "unassigned columns keep their values") {
+    val urls = (0 until 24).map(i => s"w$i")
+    val (t, dir) = mkTable(8, urls.map(u => (u, 1L, "x", false)))
+    val before = IceLite.load(dir)
+    spark.sql(s"UPDATE $t SET v = 100 WHERE url = 'w3'")
+    val after = IceLite.load(dir)
+    assert(after.operation == "sqlupdate")
+    val changedBuckets = (0 until 8).filter { b =>
+      before.files.filter(_.bucket == b).map(_.path).toSet !=
+        after.files.filter(_.bucket == b).map(_.path).toSet
+    }.toSet
+    val w3Bucket = spark.range(1)
+      .select(Salt.bucket(lit("w3"), 8)).head.getInt(0)
+    assert(changedBuckets == Set(w3Bucket))
+    assert(state(dir)("w3") == (100L, "x"))
+    assert(state(dir)("w4") == (1L, "x"))
+    assert(state(dir).size == 24)
+  }
+
+  test("UPDATE reassigning the key moves the row between buckets") {
+    val (t, dir) = mkTable(8, Seq(("a", 1L, "x", false), ("b", 2L, "x", false)))
+    spark.sql(s"UPDATE $t SET url = 'moved', tag = 'm' WHERE url = 'a'")
+    assert(state(dir) === Map("moved" -> (1L, "m"), "b" -> (2L, "x")))
+    // layout invariant holds after the move: the row is findable through
+    // a bucket-pruned point lookup on its NEW key
+    val hit = spark.sql(s"SELECT v FROM $t WHERE url = 'moved'")
+    assert(hit.head.getLong(0) == 1L)
+  }
+
+  test("DELETE: matching rows gone, tombstones in rewritten buckets " +
+      "survive, no-op DELETE commits nothing") {
+    val (t, dir) = mkTable(1, Seq(
+      ("a", 1L, "x", false), ("b", 7L, "x", false), ("dead", 3L, "x", true)))
+    spark.sql(s"DELETE FROM $t WHERE v > 5")
+    assert(state(dir) === Map("a" -> (1L, "x")))
+    assert(IceLite.load(dir).operation == "sqldelete")
+    val internal = IceLite.readInternal(spark, dir)
+      .select("url", "_deleted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(internal == Set(("a", false), ("dead", true)))
+    val v0 = IceLite.load(dir).version
+    spark.sql(s"DELETE FROM $t WHERE v > 999")
+    assert(IceLite.load(dir).version == v0)
+    // unconditional delete empties the table
+    spark.sql(s"DELETE FROM $t")
+    assert(IceLite.read(spark, dir).count() == 0)
+  }
+
+  test("no-op merge (no clause fires) commits nothing") {
+    val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
+    val v0 = IceLite.load(dir).version
+    Seq(("nope", 5L)).toDF("u", "nv").createOrReplaceTempView("src7")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src7 s ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+    """)
+    assert(IceLite.load(dir).version == v0)
+    assert(state(dir) === Map("a" -> (1L, "x")))
+  }
+}
