@@ -112,6 +112,21 @@ object Demo {
       .head.getLong(0)
     println(s"=== sql merge: rows=$mergedRows, lang(first)=$mergedLang, " +
       s"version=${IceLite.currentVersion(table)}")
+    // change-stream surface: replay the table's whole history as a bounded
+    // stream (fresh checkpoint per run — read-only, version-hint stable)
+    val csCp = java.nio.file.Files.createTempDirectory("demo_cs").toString
+    val csq = spark.readStream.format("icelite")
+      .option("startingVersion", 1).load(table)
+      .writeStream.format("memory").queryName("demo_changes")
+      .option("checkpointLocation", csCp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    csq.awaitTermination()
+    val csCount = spark.sql(
+      "SELECT count(*) FROM demo_changes WHERE change_type = 'insert'")
+      .head.getLong(0)
+    println(s"=== change stream: $csCount net inserts replaying v1->" +
+      s"v${IceLite.currentVersion(table)}")
     spark.stop()
   }
 }

@@ -523,17 +523,8 @@ object SparkEntry {
       // the final table state; the DuckDB oracle recomputes the same
       // semantics as join dataflow. Doubles stay bit-identical: *2 is
       // exact, no cross-engine rounding enters.
-      val cust = t(s, d, "customer")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_sql_merge").toString
-      val tgt = cust.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      graft.icelite.IceLite.create(dir, tgt.schema, numBuckets = 4)
-      tgt.write.format("icelite").option("epoch", "init.1")
-        .mode("append").save(dir)
-      val tbl = s"sql_merge_tgt_${System.nanoTime()}"
-      s.sql(s"CREATE TABLE $tbl USING icelite OPTIONS (path '$dir')")
-      cust.filter(col("c_custkey") % 3 === 0)
+      val (tbl, dir) = sqlDmlFixture(s, d)
+      t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("k"), (col("c_acctbal") * 2).as("nb"))
         .createOrReplaceTempView("sql_merge_src")
       s.sql(s"""
@@ -548,7 +539,49 @@ object SparkEntry {
           col("c_acctbal").as("bal"))
       s.sql(s"DROP TABLE $tbl")
       out
+    }),
+
+    "sql_update" -> ((s, d) => {
+      // SQL UPDATE surface: conditional set over an icelite table built
+      // from customer; the oracle recomputes the CASE projection
+      val (tbl, dir) = sqlDmlFixture(s, d)
+      s.sql(s"""UPDATE $tbl SET c_acctbal = c_acctbal * 3, c_name = 'upd'
+                WHERE c_acctbal < 0 AND c_custkey % 5 = 0""")
+      val out = graft.icelite.IceLite.read(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      s.sql(s"DROP TABLE $tbl")
+      out
+    }),
+
+    "sql_delete" -> ((s, d) => {
+      // SQL DELETE surface: predicate delete; the oracle is the inverted
+      // WHERE over the same base set
+      val (tbl, dir) = sqlDmlFixture(s, d)
+      s.sql(s"DELETE FROM $tbl WHERE c_acctbal > 5000 OR c_custkey % 7 = 0")
+      val out = graft.icelite.IceLite.read(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      s.sql(s"DROP TABLE $tbl")
+      out
     }))
+
+  /** Shared fixture for the SQL DML keys: an icelite table of the even
+    * custkeys, registered in the session catalog under a unique name.
+    */
+  private def sqlDmlFixture(s: SparkSession, d: String): (String, String) = {
+    val cust = t(s, d, "customer")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_dml").toString
+    val tgt = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    graft.icelite.IceLite.create(dir, tgt.schema, numBuckets = 4)
+    tgt.write.format("icelite").option("epoch", "init.1")
+      .mode("append").save(dir)
+    val tbl = s"sql_dml_tgt_${System.nanoTime()}"
+    s.sql(s"CREATE TABLE $tbl USING icelite OPTIONS (path '$dir')")
+    (tbl, dir)
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same table names (driver registers each
@@ -932,6 +965,20 @@ object SparkEntry {
          SELECT sr.k AS custkey, 'merged' AS name, sr.nb AS bal
          FROM sr LEFT JOIN tg ON sr.k = tg.c_custkey
          WHERE tg.c_custkey IS NULL""",
+
+    "sql_update" ->
+      """SELECT c_custkey AS custkey,
+                CASE WHEN c_acctbal < 0 AND c_custkey % 5 = 0
+                     THEN 'upd' ELSE c_name END AS name,
+                CASE WHEN c_acctbal < 0 AND c_custkey % 5 = 0
+                     THEN c_acctbal * 3 ELSE c_acctbal END AS bal
+         FROM customer WHERE c_custkey % 2 = 0""",
+
+    "sql_delete" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS bal
+         FROM customer
+         WHERE c_custkey % 2 = 0
+           AND NOT (c_acctbal > 5000 OR c_custkey % 7 = 0)""",
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,

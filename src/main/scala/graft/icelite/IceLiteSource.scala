@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.StructType
   * [[IceLite.read]], so schema-evolution reconciliation, bucket layout and
   * tombstone filtering stay in ONE implementation, and Catalyst still sees
   * the underlying parquet scans (column pruning pushes through the inner
-  * plan to the parquet readers). Writes are ordinary epoch-keyed commits —
+  * plan to the parquet readers). Note Spark caches v1 catalog relations at
+  * first resolution: after an engine-side ALTER, `REFRESH TABLE t` picks
+  * up the evolved schema (a stale entry fails the DML schema guard with a
+  * clear message rather than corrupting anything). Writes are ordinary epoch-keyed commits —
   * idempotent and atomic like every other side effect in the engine. A
   * DSv2 `SupportsRowLevelOperations` (SQL `MERGE INTO`) surface remains
   * out of scope (SURVEY §4.3); conditional upserts go through
@@ -31,9 +34,38 @@ import org.apache.spark.sql.types.StructType
   */
 class IceLiteSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "icelite"
+
+  /** `spark.readStream.format("icelite")`: the table AS A CHANGE STREAM.
+    * Offsets are snapshot versions; each micro-batch is
+    * `Changes.between(lastVersion, newVersion)` — the net (key,
+    * change_type, row) delta, version-tuple based, no payload diffing.
+    * `option("startingVersion", v)` replays history from `v` (v = 1, the
+    * empty created table, streams the initial state as inserts); default
+    * is the CURRENT version — only new commits stream. The lake-side
+    * binlog: downstream pipelines (second-hop transforms, indexers)
+    * subscribe to the table instead of re-scanning it.
+    *
+    * The stream schema is frozen at query start (key, change_type, then
+    * the remaining columns of that version's schema) — restart the query
+    * to pick up a schema evolution, like any streaming source.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), IceLiteStreamSource.changeSchema(path(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = path(parameters)
+    val startingVersion = parameters.get("startingVersion").map(_.trim.toInt)
+      .getOrElse(IceLite.currentVersion(dir))
+    new IceLiteStreamSource(sqlContext.sparkSession, dir, startingVersion)
+  }
 
   /** `df.writeStream.format("icelite")`: append-only streaming sink.
     * Each micro-batch is one epoch-keyed commit `<epochPrefix>.<batchId>`
@@ -116,6 +148,59 @@ class IceLiteSource extends RelationProvider
       .withColumn("_partition", lit(null).cast("int"))
       .withColumn("_deleted", lit(false))
   }
+}
+
+object IceLiteStreamSource {
+  /** Stream schema: key, change_type, then the remaining table columns
+    * (matches `Changes.between`'s output order exactly). EVERY column is
+    * nullable regardless of the table schema: a delete's row columns are
+    * null (the key survives via the diff's coalesce, but downstream
+    * encoders must not be promised non-null anything in a delta).
+    */
+  def changeSchema(dir: String): StructType = {
+    val s = IceLite.load(dir).currentSchema.struct
+    StructType((s.fields.head +:
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) +:
+      s.fields.tail).map(_.copy(nullable = true)))
+  }
+}
+
+/** Change-stream source over an IceLite table (see
+  * [[IceLiteSource.createSource]]): offset = snapshot version, batch =
+  * net row delta between two versions.
+  */
+class IceLiteStreamSource(spark: org.apache.spark.sql.SparkSession,
+    dir: String, startingVersion: Int)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override val schema: StructType = IceLiteStreamSource.changeSchema(dir)
+
+  private def ver(o: V1Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json.trim.toInt // WAL-restored SerializedOffset
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = IceLite.currentVersion(dir)
+    if (v <= startingVersion) None else Some(LongOffset(v.toLong))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val delta = graft.operators.Changes
+      .between(spark, dir, from, Some(ver(end)))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .asStreamingBatch(spark, delta, schema)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"IceLiteChangeStream[$dir]"
 }
 
 /** Append-only streaming sink: one idempotent epoch-keyed commit per

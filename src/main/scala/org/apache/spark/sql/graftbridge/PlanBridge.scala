@@ -36,4 +36,19 @@ object PlanBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(qe.executedPlan.execute(), df.schema)
   }
+
+  /** Wrap a batch-computed frame as a STREAMING micro-batch result — the
+    * shape `Source.getBatch` must return (`isStreaming = true`, so the
+    * incremental planner accepts it; Spark's own `FileStreamSource` uses
+    * the same internal constructor). Planning happens here, execution
+    * when the micro-batch runs.
+    */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame,
+      declaredSchema: org.apache.spark.sql.types.StructType = null)
+      : DataFrame = {
+    val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      qe.toRdd, Option(declaredSchema).getOrElse(df.schema),
+      isStreaming = true)
+  }
 }

@@ -119,6 +119,40 @@ class IceLiteSourceSpec extends SparkTestBase {
     assert(spark.read.format("icelite").load(out).count() == expected)
   }
 
+  test("readStream.format(icelite): table-as-change-stream — offsets are " +
+      "snapshot versions; restart on same checkpoint streams only new " +
+      "commits") {
+    val dir = mkTable("dstream", 10) // v2 = initial 10 rows
+    val cp = tmpDir("dstream_cp")
+    val out = tmpDir("dstream_out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("icelite")
+        .option("startingVersion", 1) // stream history from the empty table
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 10)
+    assert(first.select("change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("insert"))
+    // a new commit replaces everything with rows 1..3 (identical version
+    // tuples) -> net delta is exactly the 7 disappearing urls as deletes
+    val s2 = IceLite.stageFiles(dir, "e2", mkRows(3), Some("_bucket"), 1)
+    IceLite.commit(dir, "e2", "merge", s2, (0 until 4).toSet)
+    drain()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 17)
+    assert(all.filter(col("change_type") === "delete").count() == 7)
+    // idempotent restart with nothing new: no extra rows
+    drain()
+    assert(spark.read.parquet(out).count() == 17)
+  }
+
   test("write: append commits are epoch-idempotent; overwrite replaces") {
     val dir = tmpDir("dwrite")
     val rows = mkRows(4, "w").select("url", "warc_ts", "html", "text", "lang")

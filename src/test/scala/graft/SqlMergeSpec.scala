@@ -220,6 +220,35 @@ class SqlMergeSpec extends SparkTestBase {
     assert(IceLite.read(spark, dir).count() == 0)
   }
 
+  test("SQL DML on an EVOLVED table: renamed + added columns, " +
+      "mixed-schema files reconcile through the rewrite") {
+    val (_, dir) = mkTable(2, Seq(("a", 1L, "x", false), ("b", 2L, "x", false)))
+    // metadata-only evolution AFTER the first files were written: the
+    // table now mixes schema-1 files with a schema-2 definition
+    graft.operators.SchemaEvolution(dir,
+      """{"renameColumn":{"from":"tag","to":"label"}}""", "alt.1")
+    graft.operators.SchemaEvolution(dir,
+      """{"addColumn":{"name":"score","type":"long"}}""", "alt.2")
+    // the catalog entry must see the NEW schema (fresh table name —
+    // v1 relations cache their schema at resolution)
+    n += 1
+    val t2 = s"sqlmerge_t$n"
+    spark.sql(s"CREATE TABLE $t2 USING icelite OPTIONS (path '$dir')")
+    spark.sql(s"UPDATE $t2 SET label = 'seen', score = 9 WHERE url = 'a'")
+    val rows = IceLite.read(spark, dir).orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.toSeq == Seq(("a", 1L, "seen", 9L), ("b", 2L, "x", -1L)))
+    // merge through SQL on the evolved schema too
+    Seq(("c", 30L)).toDF("u", "nv").createOrReplaceTempView("src_evo")
+    spark.sql(s"""
+      MERGE INTO $t2 tg USING src_evo s ON tg.url = s.u
+      WHEN NOT MATCHED THEN INSERT (url, v, label) VALUES (s.u, s.nv, 'ins')
+    """)
+    val c = IceLite.read(spark, dir).filter(col("url") === "c").head
+    assert(c.getLong(1) == 30L && c.getString(2) == "ins" && c.isNullAt(3))
+  }
+
   test("no-op merge (no clause fires) commits nothing") {
     val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
     val v0 = IceLite.load(dir).version
