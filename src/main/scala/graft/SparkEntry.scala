@@ -479,6 +479,24 @@ object SparkEntry {
         col("id") < 5, 3, nPlanes = 3, nTables = 6)
         .withColumn("rank", col("rank").cast("long"))),
 
+    "ann_lsh_check" -> ((s, d) => {
+      // derived oracle for the LSH family: the per-(table, bucket)
+      // histogram of the multi-table sign-bit assignment. The DuckDB SQL
+      // is GENERATED from the same hyperplanes() constants (see
+      // annLshCheckOracle), so the two engines recompute identical dot
+      // signs — a cross-engine proof the bucketing itself (not just
+      // recall) is what it claims
+      val base = t(s, d, "embeddings")
+        .select(Similarity.toDouble(col("embedding")).as("v"))
+      val buckets = (0 until 4).map { tb =>
+        val planes = Similarity.hyperplanes(42L + 7919L * tb, 4, 64)
+        struct(lit(tb).as("t"), Similarity.lshBucket(col("v"), planes).as("h"))
+      }
+      base.withColumn("b", explode(array(buckets: _*)))
+        .groupBy(col("b.t").as("t"), col("b.h").as("h"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "lang_id" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
@@ -966,6 +984,8 @@ object SparkEntry {
          FROM sr LEFT JOIN tg ON sr.k = tg.c_custkey
          WHERE tg.c_custkey IS NULL""",
 
+    "ann_lsh_check" -> annLshCheckOracle,
+
     "sql_update" ->
       """SELECT c_custkey AS custkey,
                 CASE WHEN c_acctbal < 0 AND c_custkey % 5 = 0
@@ -1051,4 +1071,32 @@ object SparkEntry {
       """SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""")
+
+  /** DuckDB side of `ann_lsh_check`, GENERATED from the same
+    * `Similarity.hyperplanes` constants the Spark side uses — the plane
+    * values are embedded as 16 × 64 double literals
+    * (`Double.toString` round-trips exactly), so both engines compute
+    * `sign(dot(v, plane))` from bit-identical inputs. Sum order matches
+    * too: Spark's `aggregate(zip_with(·,·,*), 0.0, +)` is a sequential
+    * left fold, as is DuckDB's `list_dot_product`.
+    */
+  private lazy val annLshCheckOracle: String = {
+    val tables = (0 until 4).map { tb =>
+      val planes = graft.functions.Similarity.hyperplanes(
+        42L + 7919L * tb, 4, 64)
+      val h = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT $tb AS t, CAST($h AS BIGINT) AS h FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT t, h, count(*) AS n FROM (
+        $tables
+        ) GROUP BY t, h"""
+  }
 }
