@@ -144,8 +144,15 @@ object SqlMerge {
       c.isDelete || c.assigns.get(0).forall(_.semanticEquals(keyAttr)))
     val insertsUseKey = srcKeyExpr.exists(ske =>
       inserts.forall(_.assigns.get(0).exists(_.semanticEquals(ske))))
-    val srcDeterministic = !merge.sourceTable.exists(
-      _.expressions.exists(e => e.exists(!_.deterministic)))
+    // "deterministic" must mean REPEATABLE across two executions (the
+    // bucket probe + the join re-scan the source): nondeterministic
+    // expressions, unordered LIMIT and TABLESAMPLE can all legally yield
+    // a different row set the second time — any of them disables pruning
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
+    val srcDeterministic = !merge.sourceTable.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Sample => true
+      case p => p.expressions.exists(e => e.exists(!_.deterministic))
+    }
     val canPrune = srcKeyExpr.isDefined && nmbs.isEmpty &&
       updatesPreserveKey && insertsUseKey && srcDeterministic
 
