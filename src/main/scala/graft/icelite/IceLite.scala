@@ -261,6 +261,23 @@ object IceLite {
       catalog: Catalog = FileCatalog): Metadata =
     fromJson(new String(catalog.readVersion(dir, v), StandardCharsets.UTF_8))
 
+  /** Newest version committed at or before `tsMillis` (timestamp time
+    * travel). Linear walk from the head — version count is bounded by
+    * snapshot expiry and metadata files are tiny; a wall-clock regression
+    * between commits can't break it the way a binary search could.
+    */
+  def versionAt(dir: String, tsMillis: Long,
+      catalog: Catalog = FileCatalog): Int = {
+    var v = catalog.currentVersion(dir)
+    while (v >= 1) {
+      if (loadVersion(dir, v, catalog).committedAtMs <= tsMillis) return v
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"icelite: no snapshot at or before timestamp $tsMillis in $dir " +
+        "(or it was expired)")
+  }
+
   // ---------------------------------------------------------------- create
 
   /** Create an empty table with user schema `struct` (field ids 1..n). */

@@ -97,9 +97,21 @@ class IceLiteSource extends RelationProvider
   }
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    IceLiteRelation(sqlContext, path(parameters),
-      parameters.get("version").map(_.trim.toInt))
+      parameters: Map[String, String]): BaseRelation = {
+    val dir = path(parameters)
+    val byVersion = parameters.get("version").map(_.trim.toInt)
+    // timestamp time travel: epoch millis, or a `Timestamp.valueOf`
+    // literal ("yyyy-mm-dd hh:mm:ss[.f…]"); resolved to a version HERE so
+    // the relation stays pinned to one snapshot for its whole lifetime
+    val byTs = parameters.get("timestampAsOf").map(_.trim).map { raw =>
+      val ms = if (raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      IceLite.versionAt(dir, ms)
+    }
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "icelite: set either 'version' or 'timestampAsOf', not both")
+    IceLiteRelation(sqlContext, dir, byVersion.orElse(byTs))
+  }
 
   /** `df.write.format("icelite")`: Append = epoch-keyed append commit;
     * Overwrite = replace every bucket holding rows (plus, for a fresh

@@ -41,6 +41,18 @@ class IceLiteSourceSpec extends SparkTestBase {
     // time travel through the option
     val old = spark.read.format("icelite").option("version", v1).load(dir)
     assert(old.count() == 10)
+    // ... and by timestamp: the v1 commit's own wall-clock pins v1, the
+    // far future pins the head, and either style of literal parses
+    val t1 = IceLite.loadVersion(dir, v1).committedAtMs
+    assert(spark.read.format("icelite")
+      .option("timestampAsOf", t1.toString).load(dir).count() == 10)
+    assert(spark.read.format("icelite")
+      .option("timestampAsOf", "2999-01-01 00:00:00").load(dir)
+      .count() == 3)
+    intercept[IllegalArgumentException] {
+      spark.read.format("icelite").option("timestampAsOf", "0")
+        .load(dir).count()
+    }
     // pruned projection reaches the parquet scan through the inner plan
     val plan = cur.select("url").queryExecution.executedPlan.toString
     assert(!plan.contains("html"), s"payload column not pruned:\n$plan")
