@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "extract_text"),
       (children: Seq[Expression]) => ExtractTextExpression(children.head)))
     ext.injectPostHocResolutionRule(_ => new graft.operators.SqlDmlRule)
+    // batch SELECTs over format("icelite") / catalog tables: swap the
+    // DSv1 relation for the engine's parquet read plan inline, keeping
+    // whole-stage codegen + vectorized readers end-to-end (the v1
+    // RDD[Row] seam stays only as the guarded fallback)
+    ext.injectOptimizerRule(s => new graft.icelite.IceLiteScanSubstitution(s))
   }
 }

@@ -270,8 +270,18 @@ object IceLite {
       catalog: Catalog = FileCatalog): Int = {
     var v = catalog.currentVersion(dir)
     while (v >= 1) {
-      if (loadVersion(dir, v, catalog).committedAtMs <= tsMillis) return v
-      v -= 1
+      // an unloadable older version = expired history (snapshot expiry
+      // deleted its metadata or manifests): treat as end-of-walk, not an
+      // internal error — the documented "expired" message below fires
+      val committedAt =
+        try { Some(loadVersion(dir, v, catalog).committedAtMs) }
+        catch { case _: java.io.IOException | _: java.io.UncheckedIOException |
+          _: java.nio.file.NoSuchFileException => None }
+      committedAt match {
+        case Some(ts) if ts <= tsMillis => return v
+        case Some(_) => v -= 1
+        case None => v = 0 // expired tail: nothing older is loadable either
+      }
     }
     throw new IllegalArgumentException(
       s"icelite: no snapshot at or before timestamp $tsMillis in $dir " +

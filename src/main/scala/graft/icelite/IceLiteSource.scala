@@ -62,9 +62,46 @@ class IceLiteSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val dir = path(parameters)
-    val startingVersion = parameters.get("startingVersion").map(_.trim.toInt)
-      .getOrElse(IceLite.currentVersion(dir))
+    // Resolve the initial version ONCE per checkpoint and persist it under
+    // metadataPath (the FileStreamSource pattern). Without this, a
+    // restart recomputes "default = CURRENT version": commits that landed
+    // while the query was down would satisfy `v <= startingVersion`, so
+    // getOffset would return None and those pending versions were never
+    // offered — AvailableNow terminated without draining them, and a
+    // continuous query stalled until a future commit bumped current.
+    val startingVersion = resolveStartingVersion(metadataPath,
+      parameters.get("startingVersion").map(_.trim.toInt)
+        .getOrElse(IceLite.currentVersion(dir)))
     new IceLiteStreamSource(sqlContext.sparkSession, dir, startingVersion)
+  }
+
+  /** First start: persist `fresh` under the checkpoint's metadataPath and
+    * return it. Restart: return the persisted value, ignoring `fresh`.
+    * Only this query's driver touches its own checkpoint dir, so a plain
+    * temp-file + ATOMIC_MOVE publish is race-free; an unreadable file
+    * (crash mid-first-start) is treated as absent and rewritten.
+    */
+  private def resolveStartingVersion(metadataPath: String, fresh: Int): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val mp = if (metadataPath.startsWith("file:"))
+      new java.net.URI(metadataPath).getPath else metadataPath
+    val f = Paths.get(mp, "graft-starting-version")
+    val persisted =
+      try {
+        if (Files.exists(f))
+          Some(new String(Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        else None
+      } catch { case _: Throwable => None }
+    persisted.getOrElse {
+      Files.createDirectories(f.getParent)
+      val tmp = Files.createTempFile(f.getParent, ".graft-sv", ".tmp")
+      Files.write(tmp, fresh.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      fresh
+    }
   }
 
   /** `df.writeStream.format("icelite")`: append-only streaming sink.
@@ -245,7 +282,15 @@ case class IceLiteRelation(sqlContext: SQLContext, dir: String,
     version: Option[Int]) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
-  override def schema: StructType = {
+  /** Frozen at first access (= analysis of the first query using this
+    * relation instance): Spark fixes the LogicalRelation's output
+    * attributes from this schema anyway, so re-loading per call could
+    * only DISAGREE with the analyzed plan, never update it. buildScan
+    * re-checks the table against this frozen schema and fails with a
+    * clear message if an evolution landed in between (see the guard
+    * there) — `REFRESH TABLE` mints a fresh relation with the new schema.
+    */
+  override lazy val schema: StructType = {
     val m = version.map(IceLite.loadVersion(dir, _))
       .getOrElse(IceLite.load(dir))
     m.currentSchema.struct
@@ -300,6 +345,17 @@ case class IceLiteRelation(sqlContext: SQLContext, dir: String,
       filters: Array[Filter]): RDD[Row] = {
     val spark = sqlContext.sparkSession
     val m = version.map(IceLite.loadVersion(dir, _)).getOrElse(IceLite.load(dir))
+    // schema-drift guard: the query was ANALYZED against the frozen
+    // `schema` above; if an ALTER landed since, emitting rows reconciled
+    // to the NEW schema would silently produce the wrong column set/order
+    // — fail clearly instead (data-only commits don't change the schema,
+    // so ordinary reads stay fresh)
+    if (m.currentSchema.struct.fields.map(f => (f.name, f.dataType)).toSeq
+        != schema.fields.map(f => (f.name, f.dataType)).toSeq) {
+      throw new IllegalStateException(
+        s"icelite: $dir schema evolved since this query was analyzed — " +
+          "run REFRESH TABLE (or re-create the DataFrame) and re-run")
+    }
     val buckets = keyBuckets(filters, m.currentSchema.fields.head.name,
       m.numBuckets)
     val base = IceLite.readInternal(spark, dir, version, buckets)

@@ -133,6 +133,15 @@ object Maintenance {
         catch { case _: Throwable => None }
       } else None
     }
+    // Deletion ORDER matters for crash safety: the expired v*.metadata.json
+    // files are the only ENTRY POINTS to their manifests — delete them
+    // FIRST, so a crash mid-expiry can only leave unreferenced manifests /
+    // data files (invisible debris, swept by gcOrphans or the next run),
+    // never a loadable-looking metadata file whose manifests are gone
+    // (that would permanently break versionAt/history walks: fromJson
+    // eagerly reads manifests, and later runs would skip-but-never-clean
+    // the stale file).
+    expired.foreach { case (mp, _) => Files.delete(mp) }
     var dataDeleted = 0
     expired.flatMap(_._2.files.map(_.path)).distinct.foreach { p =>
       if (!keptFiles.contains(p) && Files.deleteIfExists(Paths.get(p))) {
@@ -142,7 +151,6 @@ object Maintenance {
     expired.flatMap(_._2.manifests.map(_.path)).distinct.foreach { p =>
       if (!keptManifests.contains(p)) Files.deleteIfExists(Paths.get(p))
     }
-    expired.foreach { case (mp, _) => Files.delete(mp) }
     (expired.size, dataDeleted)
   }
 

@@ -165,6 +165,92 @@ class IceLiteSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 17)
   }
 
+  test("scan substitution: SQL reads keep whole-stage codegen end-to-end " +
+      "(no RDD[Row] seam) and still agree with the engine read") {
+    val dir = mkTable("dsubst", 12)
+    spark.sql(s"CREATE TABLE ice_subst USING icelite OPTIONS (path '$dir')")
+    try {
+      val agg = spark.sql(
+        "SELECT sum(length(text)) AS n FROM ice_subst WHERE lang = 'en'")
+      val expected = IceLite.read(spark, dir).filter(col("lang") === "en")
+        .agg(sum(length(col("text")))).head.getLong(0)
+      assert(agg.collect()(0).getLong(0) == expected) // collect: runs THIS
+      // query execution (head would plan a separate limited one), so AQE
+      // finalizes the plan below
+      val physical = agg.queryExecution.executedPlan.toString
+      // the v1 boundary would show as "Scan ExistingRDD" + a row converter;
+      // the substituted plan is parquet scan -> codegen'd hash aggregate
+      assert(!physical.contains("ExistingRDD"),
+        s"DSv1 RDD seam still present:\n$physical")
+      assert(physical.contains("FileScan parquet") ||
+        physical.contains("Scan parquet"), s"no parquet scan:\n$physical")
+      // whole-stage codegen renders as "*(n)" operator prefixes
+      assert(physical.contains("*(1)"), s"no codegen span:\n$physical")
+      // time travel stays correct through substitution
+      val s2 = IceLite.stageFiles(dir, "e2", mkRows(3), Some("_bucket"), 1)
+      IceLite.commit(dir, "e2", "merge", s2, (0 until 4).toSet)
+      assert(spark.read.format("icelite").option("version", 2).load(dir)
+        .count() == 12)
+      assert(spark.sql("SELECT count(*) FROM ice_subst").head.getLong(0) == 3)
+    } finally spark.sql("DROP TABLE ice_subst")
+  }
+
+  test("readStream restart with DEFAULT starting version: commits landing " +
+      "while the query was down are drained on restart (the initial " +
+      "version is persisted per checkpoint, not recomputed)") {
+    val dir = mkTable("drestart", 10) // v2 = initial rows
+    val cp = tmpDir("drestart_cp")
+    val out = tmpDir("drestart_out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("icelite").load(dir) // NO option
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // first start: current version persisted as the baseline
+    // while the query is DOWN, a commit replaces everything with 3 rows
+    val s2 = IceLite.stageFiles(dir, "e2", mkRows(3), Some("_bucket"), 1)
+    IceLite.commit(dir, "e2", "merge", s2, (0 until 4).toSet)
+    drain() // restart MUST offer the pending version (pre-fix: stalled)
+    // first drain had nothing (baseline = current); the while-down commit
+    // replaced rows 1..10 with identical 1..3 -> net delta = 7 deletes
+    val all = spark.read.parquet(out)
+    assert(all.count() == 7, "pending commit not drained on restart")
+    assert(all.filter(col("change_type") === "delete").count() == 7)
+  }
+
+  test("change stream across a schema evolution: restart picks up the " +
+      "evolved column (stream schema is frozen per run, renewed per start)") {
+    val dir = mkTable("dalter", 4)
+    val cp = tmpDir("dalter_cp")
+    def drain(out: String): Unit = {
+      val q = spark.readStream.format("icelite").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(tmpDir("dalter_out1")) // baseline drained at the old schema
+    graft.operators.SchemaEvolution(dir,
+      """{"addColumn":{"name":"score","type":"long"}}""", "alt.stream.1")
+    val s2 = IceLite.stageFiles(dir, "e2",
+      mkRows(2, "new").withColumn("score", lit(7L)) // new urls -> inserts
+        .select("url", "warc_ts", "html", "text", "lang", "score",
+          "_offset", "_partition", "_deleted", "_bucket"),
+      Some("_bucket"), IceLite.load(dir).currentSchemaId)
+    IceLite.commit(dir, "e2", "merge", s2, (0 until 4).toSet)
+    val out2 = tmpDir("dalter_out2")
+    drain(out2) // restart: schema re-frozen at the evolved definition
+    val evolved = spark.read.parquet(out2)
+    assert(evolved.columns.contains("score"), "evolved column missing")
+    val ins = evolved.filter(col("change_type") === "insert")
+      .select("score").collect()
+    assert(ins.length == 2 && ins.forall(_.getLong(0) == 7L))
+  }
+
   test("write: append commits are epoch-idempotent; overwrite replaces") {
     val dir = tmpDir("dwrite")
     val rows = mkRows(4, "w").select("url", "warc_ts", "html", "text", "lang")
