@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ExtractTextExpression].getName,
         "extract_text"),
       (children: Seq[Expression]) => ExtractTextExpression(children.head)))
+    // MERGE ... WITH SCHEMA EVOLUTION: widen the analyzed target with the
+    // source's new columns during resolution (Spark only does this for v2
+    // relations); the command ALTERs the table at execution time
+    ext.injectResolutionRule(_ => new graft.operators.SqlMergeEvolutionRule)
     ext.injectPostHocResolutionRule(_ => new graft.operators.SqlDmlRule)
     // batch SELECTs over format("icelite") / catalog tables: swap the
     // DSv1 relation for the engine's parquet read plan inline, keeping

@@ -40,12 +40,33 @@ object SparkEntry {
   private def sumMilli(c: Column): Column =
     (sum(dec(c)) * lit(1000)).cast("long")
 
+  /** Fixture working dir, deleted at JVM exit. Results read from these
+    * dirs LAZILY, so inline deletion is impossible — without the exit
+    * hook every driver run left a few hundred MB of debris in /tmp
+    * (tmpfs = RAM on the bench host).
+    */
+  private def fixtureDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(x: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(x)) {
+          val it = java.nio.file.Files.list(x).iterator()
+          while (it.hasNext) del(it.next())
+        }
+        java.nio.file.Files.deleteIfExists(x)
+        ()
+      }
+      try del(p) catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   /** Flagship: the actual CDC engine end-to-end at sf0.001 scale —
     * synthesize a ledger, replay it into an IceLite table with a mid-stream
     * ALTER, return the live page rows. Driver smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val work = fixtureDir("graft-entry")
     val cfg = Ledger.Config(nEvents = 3000, nDomains = 30, pagesPerDomain = 10,
       partitions = 4, segments = 2,
       alterAt = Map(1500L -> Ledger.addColumnJson("fetch_ms", "long")))
@@ -589,8 +610,7 @@ object SparkEntry {
     */
   private def sqlDmlFixture(s: SparkSession, d: String): (String, String) = {
     val cust = t(s, d, "customer")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sql_dml").toString
+    val dir = fixtureDir("graft_sql_dml")
     val tgt = cust.filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     graft.icelite.IceLite.create(dir, tgt.schema, numBuckets = 4)

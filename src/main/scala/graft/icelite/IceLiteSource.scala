@@ -32,11 +32,23 @@ import org.apache.spark.sql.types.StructType
   * out of scope (SURVEY §4.3); conditional upserts go through
   * `operators.Merge`.
   */
-class IceLiteSource extends RelationProvider
+class IceLiteSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSinkProvider
     with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "icelite"
+
+  /** Schema-carrying entry point (`SchemaRelationProvider`): catalog
+    * tables re-resolve through here with the schema STORED at CREATE
+    * time. The TABLE's own metadata governs — the stored schema is
+    * ignored, because after an engine-side ALTER it is exactly the stale
+    * one (with `RelationProvider` alone, Spark hard-compares the two and
+    * `REFRESH TABLE` could never pick up an evolved schema).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   /** `spark.readStream.format("icelite")`: the table AS A CHANGE STREAM.
     * Offsets are snapshot versions; each micro-batch is

@@ -91,6 +91,20 @@ object SchemaEvolution {
     Schema(newSchemaId, fields)
   }
 
+  /** Programmatic addColumn (the SQL MERGE WITH SCHEMA EVOLUTION path):
+    * same metadata-only commit as the wire-format ALTER, with the column
+    * type rendered through its SQL DDL form (round-trips via
+    * [[parseType]]'s `DataType.fromDDL` fallback for complex types).
+    */
+  def addColumn(tableDir: String, name: String, dataType: DataType,
+      epochKey: String): Unit = {
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "addColumn" -> JObject(
+        "name" -> JString(name),
+        "type" -> JString(dataType.sql)))))
+    apply(tableDir, json, epochKey)
+  }
+
   /** Apply an ALTER to the table as a metadata-only commit. */
   def apply(tableDir: String, alterJson: String, epochKey: String): Unit = {
     val m = IceLite.load(tableDir)

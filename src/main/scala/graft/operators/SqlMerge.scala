@@ -53,6 +53,15 @@ object SqlMerge {
   @tailrec
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
+    // the WITH SCHEMA EVOLUTION widening wrapper (see
+    // [[SqlMergeEvolutionRule]]): pass-through attributes + null-literal
+    // aliases over the relation — transparent for target identification
+    case Project(pl, child) if pl.forall {
+      case _: AttributeReference => true
+      case Alias(l: org.apache.spark.sql.catalyst.expressions.Literal, _)
+        if l.value == null => true
+      case _ => false
+    } => stripAlias(child)
     case other => other
   }
 
@@ -117,8 +126,23 @@ object SqlMerge {
     val rel = iceTarget(merge.targetTable).getOrElse(
       sys.error("SqlMerge on a non-icelite target"))
     val dir = rel.dir
-    val pre = IceLite.load(dir)
     val tgtAttrs = merge.targetTable.output.map(_.asInstanceOf[AttributeReference])
+    // WITH SCHEMA EVOLUTION: the resolution rule widened the analyzed
+    // target with the source's new columns; make the TABLE match before
+    // merging — one metadata-only ALTER commit per missing column (the
+    // same interpreter the CDC ALTER path uses: no data rewrite, old rows
+    // null-fill on read). Idempotent across command retries: only columns
+    // still missing are added; a racing ALTER surfaces as a commit
+    // conflict and re-executes.
+    if (merge.withSchemaEvolution) {
+      val existing = IceLite.load(dir).currentSchema.fields.map(_.name).toSet
+      tgtAttrs.filterNot(a => existing.contains(a.name)).foreach { a =>
+        SchemaEvolution.addColumn(dir, a.name, a.dataType,
+          s"sqlmerge-evolve.${java.util.UUID.randomUUID().toString
+            .substring(0, 13)}")
+      }
+    }
+    val pre = IceLite.load(dir)
     schemaGuard(pre, tgtAttrs, dir)
     val keyAttr = tgtAttrs.head
     val keyName = keyAttr.name
@@ -166,115 +190,157 @@ object SqlMerge {
         if (bs.size * 5 >= nB * 4) None else Some(bs) // ≥80%: not worth it
       }
 
-    // ---- target frame: version-pinned, bucket-pruned, WITH the stored
-    // CDC position columns — and with the analyzer's attribute ids
-    // grafted on via explicit-exprId aliases, so the merge condition and
-    // assignment expressions resolve against it unchanged
-    val tgtDF = pinnedTarget(spark, dir, pre.version, tgtAttrs, scanBuckets)
+    // ---- the merge dataflow over a given target scan: version-pinned,
+    // optionally bucket-pruned, WITH the stored CDC position columns —
+    // and with the analyzer's attribute ids grafted on via explicit-exprId
+    // aliases, so the merge condition and assignment expressions resolve
+    // against it unchanged
+    def mergedFrame(buckets: Option[Set[Int]]): DataFrame = {
+      val tgtDF = pinnedTarget(spark, dir, pre.version, tgtAttrs, buckets)
 
-    val tb = tgtDF
-      .withColumn("__rid", monotonically_increasing_id())
-      .withColumn("__t_ex", lit(true))
-    val sb = srcDF
-      .withColumn("__sid", monotonically_increasing_id())
-      .withColumn("__s_ex", lit(true))
-    val joinType = if (inserts.nonEmpty) "full_outer" else "left_outer"
-    val joined = tb.join(sb, cc(merge.mergeCondition), joinType)
+      val tb = tgtDF
+        .withColumn("__rid", monotonically_increasing_id())
+        .withColumn("__t_ex", lit(true))
+      val sb = srcDF
+        .withColumn("__sid", monotonically_increasing_id())
+        .withColumn("__s_ex", lit(true))
+      val joinType = if (inserts.nonEmpty) "full_outer" else "left_outer"
+      val joined = tb.join(sb, cc(merge.mergeCondition), joinType)
 
-    val isM = col("__t_ex").isNotNull && col("__s_ex").isNotNull
-    val isS = col("__t_ex").isNull
-    val isT = col("__t_ex").isNotNull && col("__s_ex").isNull
+      val isM = col("__t_ex").isNotNull && col("__s_ex").isNotNull
+      val isS = col("__t_ex").isNull
+      val isT = col("__t_ex").isNotNull && col("__s_ex").isNull
 
-    // index of the first clause whose condition holds, else -1 (SQL gives
-    // clause order priority; a null condition falls through)
-    def firstClause(cs: Seq[Clause]): Column =
-      cs.foldRight(lit(-1): Column)((c, acc) =>
-        when(c.cond.map(cc).getOrElse(lit(true)), lit(c.idx)).otherwise(acc))
+      // index of the first clause whose condition holds, else -1 (SQL gives
+      // clause order priority; a null condition falls through)
+      def firstClause(cs: Seq[Clause]): Column =
+        cs.foldRight(lit(-1): Column)((c, acc) =>
+          when(c.cond.map(cc).getOrElse(lit(true)), lit(c.idx)).otherwise(acc))
 
-    val acted = joined
-      .withColumn("__mact", when(isM, firstClause(matched)).otherwise(lit(-1)))
-      .withColumn("__nmact", when(isS, firstClause(inserts)).otherwise(lit(-1)))
-      .withColumn("__tact", when(isT, firstClause(nmbs)).otherwise(lit(-1)))
+      val acted = joined
+        .withColumn("__mact", when(isM, firstClause(matched)).otherwise(lit(-1)))
+        .withColumn("__nmact", when(isS, firstClause(inserts)).otherwise(lit(-1)))
+        .withColumn("__tact", when(isT, firstClause(nmbs)).otherwise(lit(-1)))
 
-    // one window does both duties: cardinality violation (two+ clauses
-    // firing for the same target row) and multi-match dedup (a target row
-    // matching k source rows with no firing clause must survive ONCE).
-    // Partition key (side, per-row id): matched copies share their target
-    // row's group; source-only rows get singleton groups — no skew.
-    val wkey = coalesce(col("__rid"), col("__sid"))
-    val w = Window.partitionBy(col("__t_ex"), wkey)
-    val wo = w.orderBy(col("__sid").asc_nulls_first)
-    val withCard = acted
-      .withColumn("__fcnt",
-        sum(when(col("__mact") >= 0, 1).otherwise(0)).over(w))
-      .withColumn("__cno", row_number().over(wo))
+      // one window does both duties: cardinality violation (two+ clauses
+      // firing for the same target row) and multi-match dedup (a target row
+      // matching k source rows with no firing clause must survive ONCE).
+      // Partition key (side, per-row id): matched copies share their target
+      // row's group; source-only rows get singleton groups — no skew.
+      val wkey = coalesce(col("__rid"), col("__sid"))
+      val w = Window.partitionBy(col("__t_ex"), wkey)
+      val wo = w.orderBy(col("__sid").asc_nulls_first)
+      val withCard = acted
+        .withColumn("__fcnt",
+          sum(when(col("__mact") >= 0, 1).otherwise(0)).over(w))
+        .withColumn("__cno", row_number().over(wo))
 
-    val mDel = matched.filter(_.isDelete).map(_.idx)
-    val tDel = nmbs.filter(_.isDelete).map(_.idx)
-    def isin(c: Column, idxs: Seq[Int]): Column =
-      if (idxs.isEmpty) lit(false) else c.isInCollection(idxs)
+      val mDel = matched.filter(_.isDelete).map(_.idx)
+      val tDel = nmbs.filter(_.isDelete).map(_.idx)
+      def isin(c: Column, idxs: Seq[Int]): Column =
+        if (idxs.isEmpty) lit(false) else c.isInCollection(idxs)
 
-    val cardMsg = "MERGE INTO icelite: a target row matched multiple " +
-      "source rows that attempt to update or delete it " +
-      "(MERGE cardinality violation)"
-    val keep =
-      when(isM && col("__fcnt") > 1,
-        assert_true(lit(false), lit(cardMsg)).isNotNull)
-      .when(isM && col("__mact") >= 0, !isin(col("__mact"), mDel))
-      .when(isM, col("__fcnt") === 0 && col("__cno") === 1)
-      .when(isS, col("__nmact") >= 0)
-      .when(isT && col("__tact") >= 0, !isin(col("__tact"), tDel))
-      .otherwise(lit(true))
-    val changed = (isM && col("__mact") >= 0) ||
-      (isS && col("__nmact") >= 0) || (isT && col("__tact") >= 0)
+      val cardMsg = "MERGE INTO icelite: a target row matched multiple " +
+        "source rows that attempt to update or delete it " +
+        "(MERGE cardinality violation)"
+      val keep =
+        when(isM && col("__fcnt") > 1,
+          assert_true(lit(false), lit(cardMsg)).isNotNull)
+        .when(isM && col("__mact") >= 0, !isin(col("__mact"), mDel))
+        .when(isM, col("__fcnt") === 0 && col("__cno") === 1)
+        .when(isS, col("__nmact") >= 0)
+        .when(isT && col("__tact") >= 0, !isin(col("__tact"), tDel))
+        .otherwise(lit(true))
+      val changed = (isM && col("__mact") >= 0) ||
+        (isS && col("__nmact") >= 0) || (isT && col("__tact") >= 0)
 
-    // final value of target column j under the firing clause (store
-    // assignment casts to the column type, ANSI semantics); unassigned
-    // columns keep their value on UPDATE and get null on INSERT
-    def clauseValue(cs: Seq[Clause], actCol: Column, j: Int,
-        default: Column): Column =
-      cs.filterNot(_.isDelete).foldRight(default)((c, acc) =>
-        when(actCol === c.idx,
-          c.assigns.get(j).map(e => cc(e).cast(tgtAttrs(j).dataType))
-            .getOrElse(default)).otherwise(acc))
-    def finalValue(j: Int): Column = {
-      val old = cc(tgtAttrs(j))
-      val nul = lit(null).cast(tgtAttrs(j).dataType)
-      when(isM, clauseValue(matched, col("__mact"), j, old))
-        .when(isS, clauseValue(inserts, col("__nmact"), j, nul))
-        .otherwise(clauseValue(nmbs, col("__tact"), j, old))
+      // final value of target column j under the firing clause (store
+      // assignment casts to the column type, ANSI semantics); unassigned
+      // columns keep their value on UPDATE and get null on INSERT
+      def clauseValue(cs: Seq[Clause], actCol: Column, j: Int,
+          default: Column): Column =
+        cs.filterNot(_.isDelete).foldRight(default)((c, acc) =>
+          when(actCol === c.idx,
+            c.assigns.get(j).map(e => cc(e).cast(tgtAttrs(j).dataType))
+              .getOrElse(default)).otherwise(acc))
+      def finalValue(j: Int): Column = {
+        val old = cc(tgtAttrs(j))
+        val nul = lit(null).cast(tgtAttrs(j).dataType)
+        when(isM, clauseValue(matched, col("__mact"), j, old))
+          .when(isS, clauseValue(inserts, col("__nmact"), j, nul))
+          .otherwise(clauseValue(nmbs, col("__tact"), j, old))
+      }
+
+      withCard.select(
+        tgtAttrs.indices.map(j => finalValue(j).as(tgtAttrs(j).name)) ++ Seq(
+          keep.as("__keep"), changed.as("__changed"),
+          when(col("__t_ex").isNotNull, Salt.bucket(cc(keyAttr), nB))
+            .as("__oldb"),
+          col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
+        .withColumn("__newb",
+          when(col("__keep"), Salt.bucket(col(keyName), nB)))
     }
 
-    val merged = withCard.select(
-      tgtAttrs.indices.map(j => finalValue(j).as(tgtAttrs(j).name)) ++ Seq(
-        keep.as("__keep"), changed.as("__changed"),
-        when(col("__t_ex").isNotNull, Salt.bucket(cc(keyAttr), nB))
-          .as("__oldb"),
-        col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
-      .withColumn("__newb",
-        when(col("__keep"), Salt.bucket(col(keyName), nB)))
-      // one materialization feeds the affected-bucket probe AND the write;
-      // also freezes the nondeterministic row ids (CLAUDE.md: checkpoint,
-      // not cache, so per-statement frames don't pin the CacheManager)
-      .localCheckpoint()
+    def affectedOf(df: DataFrame): Set[Int] =
+      df.filter(col("__changed"))
+        .select(explode(array(col("__oldb"), col("__newb"))).as("b"))
+        .filter(col("b").isNotNull)
+        .distinct().collect().map(_.getInt(0)).toSet
+    def outOf(df: DataFrame, affected: Set[Int]): DataFrame =
+      df.filter(col("__keep") && col("__newb").isInCollection(affected))
+        .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
+          col("_partition"), lit(false).as("_deleted"),
+          col("__newb").as("_bucket")): _*)
+    // inserts (incl. duplicate source keys) and key-reassigning updates
+    // can put a new key into a bucket — those need the uniqueness guard
+    // and the tombstone re-insert anti-join (see commitRewrite)
+    val introducesKeys = inserts.nonEmpty || !updatesPreserveKey
 
-    val affected = merged.filter(col("__changed"))
-      .select(explode(array(col("__oldb"), col("__newb"))).as("b"))
-      .filter(col("b").isNotNull)
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (affected.isEmpty) return // every clause missed: a no-op, no commit
-    scanBuckets.foreach { sbs =>
-      if (!affected.subsetOf(sbs)) sys.error(
-        s"internal: pruning unsound — affected $affected ⊄ scanned $sbs")
+    // plan REPEATABILITY across two evaluations (the affected-bucket probe
+    // and the write): same bar as scan pruning — nondeterministic clause
+    // conditions/assignments or a nondeterministic source force the
+    // single-evaluation checkpoint path
+    val deterministicPlan = srcDeterministic &&
+      merge.mergeCondition.deterministic &&
+      (matched ++ inserts ++ nmbs).forall(c =>
+        c.cond.forall(_.deterministic) && c.assigns.values.forall(_.deterministic))
+
+    if (scanBuckets.isEmpty && deterministicPlan) {
+      // ---- UNPRUNED, repeatable statement: two-pass — an aggregate-only
+      // probe over the full join finds the affected buckets, then the
+      // write re-derives the merge with the TARGET scan pruned to those
+      // buckets. Cost: join evaluated twice, but the table is never
+      // spooled to executor-local disk (the checkpoint path writes the
+      // whole table once to local disk and again to the table — 2x write;
+      // at 100 TB the 2x read is the right trade). Pass-2 target pruning
+      // is sound: every changed row's old AND new bucket is in `affected`,
+      // so a source row whose match was pruned away can only produce a
+      // spurious insert aimed at an UNaffected bucket — dropped by the
+      // `__newb IN affected` filter in outOf.
+      val affected = affectedOf(mergedFrame(None))
+      if (affected.isEmpty) return // every clause missed: a no-op
+      val out = outOf(mergedFrame(Some(affected)), affected)
+      commitRewrite(spark, dir, pre, out, affected, keyName, nB, "sqlmerge",
+        introducesKeys)
+    } else {
+      // ---- pruned (cheap: only the source keys' buckets) or
+      // nondeterministic: ONE materialization feeds the probe AND the
+      // write, and freezes the nondeterministic row ids (CLAUDE.md:
+      // checkpoint, not cache, so per-statement frames don't pin the
+      // CacheManager). try/finally: the no-op return, a cardinality
+      // violation and a commit conflict must all release the checkpoint.
+      val merged = mergedFrame(scanBuckets).localCheckpoint()
+      try {
+        val affected = affectedOf(merged)
+        if (affected.isEmpty) return // every clause missed: a no-op
+        scanBuckets.foreach { sbs =>
+          if (!affected.subsetOf(sbs)) sys.error(
+            s"internal: pruning unsound — affected $affected ⊄ scanned $sbs")
+        }
+        commitRewrite(spark, dir, pre, outOf(merged, affected), affected,
+          keyName, nB, "sqlmerge", introducesKeys)
+      } finally merged.unpersist()
     }
-
-    val out = merged
-      .filter(col("__keep") && col("__newb").isInCollection(affected))
-      .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
-        col("_partition"), lit(false).as("_deleted"),
-        col("__newb").as("_bucket")): _*)
-    commitRewrite(spark, dir, pre, out, affected, keyName, nB, "sqlmerge")
-    merged.unpersist()
   }
 
   // ------------------------------------------------------------ shared
@@ -311,18 +377,47 @@ object SqlMerge {
     * The epoch key gets a non-numeric suffix (uuid slice keeps a '-'):
     * never folded into the epoch high-water mark, so concurrent DML
     * statements can't mask each other.
+    *
+    * `introducesKeys`: true for statements that can put a NEW key into a
+    * bucket (MERGE inserts, key-reassigning UPDATE). Those — and only
+    * those — need (a) the key-uniqueness guard: a per-key window over the
+    * rewrite set (collisions are bucket-local by the layout invariant,
+    * and `out` fully covers the affected buckets) fails the statement
+    * BEFORE the commit if two live rows would share a key (the
+    * one-live-row-per-key invariant every other operator assumes); and
+    * (b) the tombstone re-insert anti-join — a statement that cannot mint
+    * keys cannot collide with a tombstoned key (live and tombstoned key
+    * sets are disjoint), so both steps are skipped entirely then.
     */
   private def commitRewrite(spark: SparkSession, dir: String,
       pre: IceLite.Metadata, out: DataFrame, affected: Set[Int],
-      keyName: String, nB: Int, opName: String): Unit = {
-    val tombs = IceLite.readInternal(spark, dir, Some(pre.version),
+      keyName: String, nB: Int, opName: String,
+      introducesKeys: Boolean = false): Unit = {
+    val guarded =
+      if (!introducesKeys) out
+      else {
+        val dupMsg = s"$opName: two live rows would share key `$keyName` " +
+          "after this statement (an INSERT or key reassignment collides " +
+          "with an existing live key) — key uniqueness violation"
+        val wk = Window.partitionBy(col(keyName))
+        out.withColumn("__kc", count(lit(1)).over(wk))
+          // filter (not a dropped projection — column pruning would erase
+          // it): evaluated during the write, aborts before any commit
+          .filter(when(col("__kc") > 1,
+            assert_true(lit(false), lit(dupMsg)).isNotNull)
+            .otherwise(lit(true)))
+          .drop("__kc")
+      }
+    val tombs0 = IceLite.readInternal(spark, dir, Some(pre.version),
         Some(affected))
       .filter(col("_deleted"))
-      .join(out.select(col(keyName)), Seq(keyName), "left_anti")
+    val tombs = (if (introducesKeys)
+        tombs0.join(out.select(col(keyName)), Seq(keyName), "left_anti")
+      else tombs0)
       .withColumn("_bucket", Salt.bucket(col(keyName), nB))
     // one file per rewritten bucket (not one per task per bucket): DML
     // statements must not crowd buckets into needing compaction
-    val toWrite = out.unionByName(tombs.select(out.columns.map(col): _*))
+    val toWrite = guarded.unionByName(tombs.select(out.columns.map(col): _*))
       .repartition(col("_bucket"))
     val epoch =
       s"$opName.${java.util.UUID.randomUUID().toString.substring(0, 13)}"
@@ -384,7 +479,6 @@ object SqlMerge {
       if (keyReassigned) None // moved rows need their NEW bucket read too
       else bucketsFromCondition(cond, keyAttr, nB)
 
-    val tgt = pinnedTarget(spark, dir, pre.version, tgtAttrs, scanBuckets)
     val hit = coalesce(cc(cond), lit(false))
     def finalValue(j: Int): Column = {
       val old = cc(tgtAttrs(j))
@@ -392,24 +486,49 @@ object SqlMerge {
         when(hit, cc(e).cast(tgtAttrs(j).dataType)).otherwise(old))
         .getOrElse(old)
     }
-    val marked = tgt.select(
-      tgtAttrs.indices.map(j => finalValue(j).as(tgtAttrs(j).name)) ++ Seq(
-        hit.as("__hit"), Salt.bucket(cc(keyAttr), nB).as("__oldb"),
-        col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
-      .withColumn("__newb", Salt.bucket(col(keyAttr.name), nB))
-      .localCheckpoint() // freeze: one evaluation feeds probe AND write
-    val affected = marked.filter(col("__hit"))
-      .select(explode(array(col("__oldb"), col("__newb"))).as("b"))
-      .filter(col("b").isNotNull)
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (affected.isEmpty) return
-    val out = marked.filter(col("__newb").isInCollection(affected))
-      .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
-        col("_partition"), lit(false).as("_deleted"),
-        col("__newb").as("_bucket")): _*)
-    commitRewrite(spark, dir, pre, out, affected, keyAttr.name, nB,
-      "sqlupdate")
-    marked.unpersist()
+    def markedFrame(buckets: Option[Set[Int]]): DataFrame =
+      pinnedTarget(spark, dir, pre.version, tgtAttrs, buckets).select(
+        tgtAttrs.indices.map(j => finalValue(j).as(tgtAttrs(j).name)) ++ Seq(
+          hit.as("__hit"), Salt.bucket(cc(keyAttr), nB).as("__oldb"),
+          col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
+        .withColumn("__newb", Salt.bucket(col(keyAttr.name), nB))
+    def affectedOf(df: DataFrame): Set[Int] =
+      df.filter(col("__hit"))
+        .select(explode(array(col("__oldb"), col("__newb"))).as("b"))
+        .filter(col("b").isNotNull)
+        .distinct().collect().map(_.getInt(0)).toSet
+    def outOf(df: DataFrame, affected: Set[Int]): DataFrame =
+      df.filter(col("__newb").isInCollection(affected))
+        .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
+          col("_partition"), lit(false).as("_deleted"),
+          col("__newb").as("_bucket")): _*)
+
+    // repeatability bar for the two-evaluation path: the WHERE and (when
+    // the key moves) the key assignment must be deterministic — other
+    // assignment values are only ever evaluated once, in the write pass
+    val repeatable = cond.deterministic &&
+      (!keyReassigned || assigns.get(0).forall(_.deterministic))
+    if (scanBuckets.isEmpty && repeatable) {
+      // unpruned full-table statement: aggregate-only probe, then the
+      // write re-scans ONLY the affected buckets — the table is read
+      // twice, never spooled to executor-local checkpoint disk (hit rows'
+      // old and new buckets are both in `affected`, so the restricted
+      // scan covers every row the rewrite needs)
+      val affected = affectedOf(markedFrame(None))
+      if (affected.isEmpty) return
+      commitRewrite(spark, dir, pre,
+        outOf(markedFrame(Some(affected)), affected), affected,
+        keyAttr.name, nB, "sqlupdate", introducesKeys = keyReassigned)
+    } else {
+      val marked = markedFrame(scanBuckets)
+        .localCheckpoint() // freeze: one evaluation feeds probe AND write
+      try {
+        val affected = affectedOf(marked)
+        if (affected.isEmpty) return
+        commitRewrite(spark, dir, pre, outOf(marked, affected), affected,
+          keyAttr.name, nB, "sqlupdate", introducesKeys = keyReassigned)
+      } finally marked.unpersist()
+    }
   }
 
   // ------------------------------------------------------------ DELETE
@@ -430,23 +549,39 @@ object SqlMerge {
     val nB = pre.numBuckets
     val scanBuckets = bucketsFromCondition(delete.condition, keyAttr, nB)
 
-    val tgt = pinnedTarget(spark, dir, pre.version, tgtAttrs, scanBuckets)
-    val marked = tgt.select(tgtAttrs.map(a => cc(a).as(a.name)) ++ Seq(
-        coalesce(cc(delete.condition), lit(false)).as("__hit"),
-        Salt.bucket(cc(keyAttr), nB).as("__b"),
-        col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
-      .localCheckpoint() // freeze: one evaluation feeds probe AND write
-    val affected = marked.filter(col("__hit"))
-      .select(col("__b")).distinct().collect().map(_.getInt(0)).toSet
-    if (affected.isEmpty) return
-    val out = marked
-      .filter(!col("__hit") && col("__b").isInCollection(affected))
-      .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
-        col("_partition"), lit(false).as("_deleted"),
-        col("__b").as("_bucket")): _*)
-    commitRewrite(spark, dir, pre, out, affected, keyAttr.name, nB,
-      "sqldelete")
-    marked.unpersist()
+    def markedFrame(buckets: Option[Set[Int]]): DataFrame =
+      pinnedTarget(spark, dir, pre.version, tgtAttrs, buckets)
+        .select(tgtAttrs.map(a => cc(a).as(a.name)) ++ Seq(
+          coalesce(cc(delete.condition), lit(false)).as("__hit"),
+          Salt.bucket(cc(keyAttr), nB).as("__b"),
+          col(oOff).as("_offset"), col(oPart).as("_partition")): _*)
+    def affectedOf(df: DataFrame): Set[Int] =
+      df.filter(col("__hit"))
+        .select(col("__b")).distinct().collect().map(_.getInt(0)).toSet
+    def outOf(df: DataFrame, affected: Set[Int]): DataFrame =
+      df.filter(!col("__hit") && col("__b").isInCollection(affected))
+        .select(tgtAttrs.map(a => col(a.name)) ++ Seq(col("_offset"),
+          col("_partition"), lit(false).as("_deleted"),
+          col("__b").as("_bucket")): _*)
+
+    if (scanBuckets.isEmpty && delete.condition.deterministic) {
+      // unpruned full-table statement: aggregate-only probe, then the
+      // write re-scans only the affected buckets (no checkpoint spool)
+      val affected = affectedOf(markedFrame(None))
+      if (affected.isEmpty) return
+      commitRewrite(spark, dir, pre,
+        outOf(markedFrame(Some(affected)), affected), affected,
+        keyAttr.name, nB, "sqldelete")
+    } else {
+      val marked = markedFrame(scanBuckets)
+        .localCheckpoint() // freeze: one evaluation feeds probe AND write
+      try {
+        val affected = affectedOf(marked)
+        if (affected.isEmpty) return
+        commitRewrite(spark, dir, pre, outOf(marked, affected), affected,
+          keyAttr.name, nB, "sqldelete")
+      } finally marked.unpersist()
+    }
   }
 }
 
@@ -489,6 +624,70 @@ case class SqlDeleteCommand(delete: DeleteFromTable) extends SqlDmlCommand {
     SqlMerge.executeDelete(spark, delete)
 }
 
+/** Resolution rule for `MERGE ... WITH SCHEMA EVOLUTION` over an icelite
+  * target: widen the analyzed target with the SOURCE's new columns (as
+  * null-literal aliases appended in source order) so assignments and star
+  * expansions referencing them RESOLVE — Spark's own evolution resolution
+  * only covers v2 relations, and without the widening `tg.newcol = ...`
+  * dies with UNRESOLVED_COLUMN before any post-hoc rule runs.
+  *
+  * New columns are derived from the source SCHEMA, Delta-like: star
+  * actions (`UPDATE SET *` / `INSERT *`) pull in EVERY source column the
+  * target lacks; explicit assignments pull in only the assigned names
+  * that exist in the source — an assignment to a name in neither target
+  * nor source still fails resolution with the standard clear error, and
+  * unreferenced source columns never pollute the table. The widening is
+  * pure plan surgery — the TABLE evolves at execution time
+  * (SqlMerge.execute applies one metadata-only ALTER per missing column
+  * through the same interpreter the CDC ALTER path uses), so EXPLAIN
+  * never mutates state. Idempotent under the analyzer's fixpoint: once
+  * widened, no wanted column is missing.
+  */
+class SqlMergeEvolutionRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.withSchemaEvolution &&
+        m.sourceTable.resolved && m.targetTable.resolved &&
+        SqlMerge.iceTarget(m.targetTable).isDefined =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
+      val tgtOut = m.targetTable.output
+      val actions = m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions
+      val hasStar = actions.exists {
+        case _: UpdateStarAction | _: InsertStarAction => true
+        case _ => false
+      }
+      val assignedNames: Seq[String] = actions.flatMap {
+        case u: UpdateAction => u.assignments.map(_.key)
+        case i: InsertAction => i.assignments.map(_.key)
+        case _ => Nil
+      }.collect { case ua: UnresolvedAttribute => ua.nameParts.last }
+      val missing = m.sourceTable.output.filterNot(s =>
+        tgtOut.exists(t => conf.resolver(t.name, s.name)))
+      val newCols =
+        if (hasStar) missing
+        else missing.filter(s =>
+          assignedNames.exists(conf.resolver(_, s.name)))
+      if (newCols.isEmpty) m
+      else {
+        def widen(p: LogicalPlan): LogicalPlan = Project(
+          p.output ++ newCols.map(s => Alias(
+            org.apache.spark.sql.catalyst.expressions.Literal(null,
+              s.dataType), s.name)()),
+          p)
+        // widen INSIDE the target's alias, so `tg.newcol` references
+        // resolve with their qualifier (SubqueryAlias re-qualifies its
+        // child's output)
+        val widened = m.targetTable match {
+          case SubqueryAlias(id, child) => SubqueryAlias(id, widen(child))
+          case other => widen(other)
+        }
+        m.copy(targetTable = widened)
+      }
+    case other => other
+  }
+}
+
 /** Post-hoc resolution rule: resolved MERGE / UPDATE / DELETE over an
   * icelite v1 relation → the matching command. Anything else is left for
   * Spark to handle (or reject) as usual.
@@ -497,9 +696,6 @@ class SqlDmlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable
         if m.resolved && SqlMerge.iceTarget(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE INTO icelite: WITH SCHEMA EVOLUTION is not supported — " +
-          "evolve the table with the ALTER interpreter first")
       SqlMergeCommand(m)
     case u: UpdateTable
         if u.resolved && SqlMerge.iceTarget(u.table).isDefined =>

@@ -249,6 +249,123 @@ class SqlMergeSpec extends SparkTestBase {
     assert(c.getLong(1) == 30L && c.getString(2) == "ins" && c.isNullAt(3))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: explicit assignment to a new source " +
+      "column adds it (metadata-only), old rows null-fill, untouched " +
+      "buckets keep their exact files") {
+    val urls = (0 until 24).map(i => s"e$i")
+    val (t, dir) = mkTable(8, urls.map(u => (u, 1L, "x", false)))
+    val before = IceLite.load(dir)
+    Seq(("e3", 30L, "NEW")).toDF("u", "nv", "extra")
+      .createOrReplaceTempView("src_evo1")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo1 s
+      ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv, tg.extra = s.extra
+      WHEN NOT MATCHED THEN INSERT (url, v, extra) VALUES (s.u, s.nv, s.extra)
+    """)
+    val after = IceLite.load(dir)
+    // the column landed as a METADATA-ONLY evolution + a bucket-scoped
+    // rewrite: only e3's bucket's files changed
+    assert(after.currentSchema.fields.map(_.name) ==
+      Seq("url", "v", "tag", "extra"))
+    val changed = (0 until 8).filter { b =>
+      before.files.filter(_.bucket == b).map(_.path).toSet !=
+        after.files.filter(_.bucket == b).map(_.path).toSet
+    }.toSet
+    assert(changed == Set(spark.range(1)
+      .select(Salt.bucket(lit("e3"), 8)).head.getInt(0)))
+    val rows = IceLite.read(spark, dir).select("url", "v", "extra").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows("e3") == (30L, "NEW"))
+    assert(rows("e4") == (1L, null)) // untouched row null-fills on read
+    assert(rows.size == 24)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: INSERT * pulls in every missing " +
+      "source column; unreferenced-source merge without star adds nothing") {
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "x", false)))
+    // source shaped like the target + one extra column
+    Seq(("b", 2L, "ins", "B2")).toDF("url", "v", "tag", "note")
+      .createOrReplaceTempView("src_evo2")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo2 s
+      ON tg.url = s.url
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(IceLite.load(dir).currentSchema.fields.map(_.name) ==
+      Seq("url", "v", "tag", "note"))
+    val b = IceLite.read(spark, dir).filter(col("url") === "b").head
+    assert(b.getLong(1) == 2L && b.getString(2) == "ins" &&
+      b.getString(3) == "B2")
+    // the catalog caches v1 relations: after the evolution the next
+    // statement must re-resolve against the NEW schema
+    spark.sql(s"REFRESH TABLE $t")
+    // WITHOUT star and without assigning the extra column, the schema
+    // must NOT grow (unreferenced source columns never pollute the table)
+    Seq(("c", 3L, "zz")).toDF("u", "nv", "junk")
+      .createOrReplaceTempView("src_evo3")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo3 s ON tg.url = s.u
+      WHEN NOT MATCHED THEN INSERT (url, v) VALUES (s.u, s.nv)
+    """)
+    assert(IceLite.load(dir).currentSchema.fields.map(_.name) ==
+      Seq("url", "v", "tag", "note"))
+  }
+
+  test("key uniqueness: UPDATE reassigning a key onto an existing live " +
+      "key fails before commit; MERGE inserting duplicate source keys " +
+      "fails too") {
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "x", false), ("b", 2L, "x", false)))
+    val v0 = IceLite.load(dir).version
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    val e1 = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET url = 'b' WHERE url = 'a'")
+    }
+    assert(msgs(e1).exists(_.contains("uniqueness")), msgs(e1).mkString("|"))
+    assert(IceLite.load(dir).version == v0, "failed UPDATE must not commit")
+    assert(state(dir) === Map("a" -> (1L, "x"), "b" -> (2L, "x")))
+    // two unmatched source rows with the SAME new key would both insert
+    Seq(("z", 1L), ("z", 2L)).toDF("u", "nv").createOrReplaceTempView("dupsrc")
+    val e2 = intercept[Exception] {
+      spark.sql(s"""
+        MERGE INTO $t tg USING dupsrc s ON tg.url = s.u
+        WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.nv, 'i')
+      """)
+    }
+    assert(msgs(e2).exists(_.contains("uniqueness")), msgs(e2).mkString("|"))
+    assert(IceLite.load(dir).version == v0, "failed MERGE must not commit")
+    // a legal key move still works (the guard only rejects collisions)
+    spark.sql(s"UPDATE $t SET url = 'c' WHERE url = 'a'")
+    assert(state(dir) === Map("c" -> (1L, "x"), "b" -> (2L, "x")))
+  }
+
+  test("full-table (unpruned) UPDATE takes the two-pass path: correct " +
+      "result, only hit buckets rewritten; a nondeterministic WHERE " +
+      "falls back to the single-evaluation checkpoint path") {
+    val urls = (0 until 32).map(i => s"f$i")
+    val (t, dir) = mkTable(8, urls.map(u => (u, u.drop(1).toLong, "x", false)))
+    val before = IceLite.load(dir)
+    // hits rows 30,31 only — WHERE on a NON-key column, so no pruning:
+    // the two-pass probe must still narrow the rewrite to their buckets
+    spark.sql(s"UPDATE $t SET tag = 'big' WHERE v >= 30")
+    val after = IceLite.load(dir)
+    val changed = (0 until 8).filter { b =>
+      before.files.filter(_.bucket == b).map(_.path).toSet !=
+        after.files.filter(_.bucket == b).map(_.path).toSet
+    }.toSet
+    val hitBuckets = Seq("f30", "f31").map(u => spark.range(1)
+      .select(Salt.bucket(lit(u), 8)).head.getInt(0)).toSet
+    assert(changed == hitBuckets)
+    assert(state(dir)("f30") == (30L, "big") && state(dir)("f31") == (31L, "big"))
+    assert(state(dir)("f0") == (0L, "x"))
+    // nondeterministic WHERE (rand() < 2 is always true but not
+    // repeatable): must route through the checkpoint path and update all
+    spark.sql(s"UPDATE $t SET tag = 'all' WHERE rand() < 2")
+    assert(state(dir).values.forall(_._2 == "all"))
+  }
+
   test("no-op merge (no clause fires) commits nothing") {
     val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
     val v0 = IceLite.load(dir).version
