@@ -1090,7 +1090,55 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-         FROM documents""")
+         FROM documents""",
+
+    "ann_lsh" -> annLshTopkOracle)
+
+  /** DuckDB side of `ann_lsh` (the ranked top-k itself, closing the last
+    * rows-only key): the full multi-table LSH pipeline re-derived from
+    * scratch — per-table sign-bit buckets from the SAME
+    * `Similarity.hyperplanes(42 + 7919·t, 3, 64)` literals the Spark plan
+    * folds in, DISTINCT same-(table,bucket) candidate pairs, exact cosine
+    * scoring and per-query ranking. Cross-engine bit-parity leans on the
+    * two proven pieces: sign(dot) agreement (ann_lsh_check) and
+    * cosine-at-round(4) + unrounded ORDER BY with id tie-break
+    * (ann_cosine).
+    */
+  private lazy val annLshTopkOracle: String = {
+    val tables = (0 until 6).map { tb =>
+      val planes = graft.functions.Similarity.hyperplanes(
+        42L + 7919L * tb, 3, 64)
+      val h = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $tb AS t, CAST($h AS BIGINT) AS h FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        b AS (
+        $tables
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+          FROM b q JOIN b n ON q.t = n.t AND q.h = n.h
+            AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < 5),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+            round(list_cosine_similarity(eq.v, en.v), 4) AS cos,
+            row_number() OVER (PARTITION BY c.q_id
+              ORDER BY list_cosine_similarity(eq.v, en.v) DESC, c.n_id)
+              AS rank
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.q_id
+          JOIN e en ON en.vec_id = c.n_id)
+        SELECT q_id, n_id, cos, CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= 3"""
+  }
 
   /** DuckDB side of `ann_lsh_check`, GENERATED from the same
     * `Similarity.hyperplanes` constants the Spark side uses — the plane
