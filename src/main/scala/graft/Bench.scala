@@ -223,28 +223,78 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  /** Host-degradation probe: a fixed single-threaded pure-CPU loop
-    * (SplitMix64 mixing, 300M iterations ≈ 1.3 s on this host when
-    * healthy — calibrated 2026-08, see BASELINE.md). Its wall time
-    * depends ONLY on host/hypervisor health, never on the engine — so a
-    * degraded measurement window is VISIBLE in the published per-rep
-    * probe times even when the paired ratios agree with each other
-    * (round-3 failure mode: a uniformly degraded window produced three
-    * consistent low ratios and the spread-triggered stopping rule,
-    * blind to uniform degradation, confidently stopped at n=3).
+  /** Host-degradation probe: `threads` concurrent copies of a fixed
+    * pure-CPU loop (SplitMix64 mixing, 300M iterations each); returns
+    * wall ms until ALL finish. Calibrated 2026-08-17 on this 32-core VM
+    * when healthy: ≈1300–1390 ms at BOTH width 1 and width 8 (no
+    * sibling-core contention when quiet). Wall time depends ONLY on
+    * host/hypervisor health, never on the engine, so a degraded
+    * measurement window is VISIBLE in the published per-rep probe times
+    * even when the paired ratios agree with each other (round-3 failure
+    * mode: a uniformly degraded window produced three consistent low
+    * ratios and the spread-triggered stopping rule, blind to uniform
+    * degradation, confidently stopped at n=3).
+    *
+    * TWO widths are probed per rep: width 1 (single-core health) and
+    * width 4N (the wide level's core demand). Co-tenant CPU load can
+    * leave single-core latency intact while starving a 4N-wide job —
+    * that hits evps@4N 4x harder than evps@N and silently deflates every
+    * paired ratio (measured 2026-08-17: eight healthy 1-wide probes
+    * while evps@8 decayed 1.42M→1.0M across the same reps); the wide
+    * probe sees exactly that contention.
     */
-  private[graft] def hostProbeMs(): Long = {
-    val t0 = System.nanoTime()
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0L
-    while (i < 300000000L) {
-      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-      x ^= x >>> 27; x *= 0x94D049BB133111EBL
-      x ^= x >>> 31
-      i += 1
+  private[graft] def hostProbeMs(threads: Int): Long = {
+    def burn(): Unit = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 300000000L) {
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31
+        i += 1
+      }
+      if (x == 42L) System.err.print("") // keep the loop observable
     }
-    if (x == 42L) System.err.print("") // keep the loop observable
+    val t0 = System.nanoTime()
+    if (threads <= 1) burn()
+    else {
+      val ts = (1 to threads).map(_ => new Thread(() => burn()))
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+    }
     (System.nanoTime() - t0) / 1000000L
+  }
+
+  /** Continuous host sampler: ONE background thread timing the width-1
+    * probe loop back-to-back while a rep's replays run, so degradation
+    * arriving MID-REP is caught (measured 2026-08-17: a rep whose
+    * pre-rep probes were healthy degraded during its replays — evps fell
+    * ~20% at both levels — and no instantaneous probe could see it).
+    * Width 1 keeps interference negligible: one extra busy thread next
+    * to an 8-thread replay on a 32-core host, and when the host IS
+    * healthy the loop costs the replay nothing. The rep's health stat is
+    * the MEDIAN sample (robust to a one-off GC-safepoint pause of the
+    * sampler thread).
+    */
+  private final class HostSampler {
+    private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    @volatile private var stopped = false
+    private val t = new Thread(() => {
+      while (!stopped) {
+        val ms = hostProbeMs(1)
+        buf.synchronized { buf += ms }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    /** Stop and return (median, max, n) of the collected samples. */
+    def finish(): (Long, Long, Int) = {
+      stopped = true
+      t.join(5000)
+      val xs = buf.synchronized { buf.toVector }.sorted
+      if (xs.isEmpty) (0L, 0L, 0)
+      else (xs(xs.size / 2), xs.last, xs.size)
+    }
   }
 
   private def cdcScaling(work: String, ledger: String, warmLedger: String,
@@ -278,10 +328,15 @@ object Bench {
     val useChildren = sys.env.contains("SPARK_GRAFT_CHILD_JVMS")
     val pairs = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     val probes = scala.collection.mutable.ArrayBuffer[Long]()
+    val probesWide = scala.collection.mutable.ArrayBuffer[Long]()
+    val during = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
     def runPair(k: Int): Unit = {
       if (k > 1 && repSleepMs > 0) Thread.sleep(repSleepMs)
-      val probe = hostProbeMs()
+      val probe = hostProbeMs(1)
+      val probeW = hostProbeMs(scaleN * 4)
       probes += probe
+      probesWide += probeW
+      val sampler = new HostSampler
       // counterbalanced order (N,4N / 4N,N alternating): monotone host
       // drift within a rep otherwise biases every paired ratio the same way
       val order = if (k % 2 == 1) Seq(scaleN, scaleN * 4)
@@ -302,7 +357,10 @@ object Bench {
           }
         n -> evps
       }.toMap
+      val (dMed, dMax, dN) = sampler.finish()
+      during += ((dMed, dMax, dN))
       System.err.println(f"[bench] rep $k: probe=${probe}ms " +
+        f"probeW=${probeW}ms during(med/max/n)=$dMed/$dMax/$dN " +
         f"evps@$scaleN=${pair(scaleN)}%.0f " +
         f"evps@${scaleN * 4}=${pair(scaleN * 4)}%.0f " +
         f"ratio=${pair(scaleN * 4) / (4.0 * pair(scaleN))}%.3f")
@@ -331,7 +389,17 @@ object Bench {
     }
     def ratios = pairs.map(p => p(scaleN * 4) / (4.0 * p(scaleN))).toSeq
     def probeRef = math.min(probeRefMs, probes.min)
-    def healthyIdx = probes.indices.filter(i => probes(i) <= 1.35 * probeRef)
+    def probeWideRef = math.min(probeRefMs, probesWide.min)
+    def duringRef = math.min(probeRefMs,
+      during.map(_._1).filter(_ > 0).minOption.getOrElse(probeRefMs))
+    // healthy = single-core latency intact before the rep, 4N cores
+    // deliverable before the rep, AND the median in-rep sample clean —
+    // the three cover instantaneous narrow, instantaneous wide, and
+    // whole-window degradation respectively
+    def healthyIdx = probes.indices.filter(i =>
+      probes(i) <= 1.35 * probeRef &&
+      probesWide(i) <= 1.35 * probeWideRef &&
+      during(i)._1 <= 1.35 * duringRef)
     def healthyRatios = { val r = ratios; healthyIdx.map(r) }
     def spreadOf(xs: Seq[Double]): Double =
       if (xs.size < 2) 0.0 else (xs.max - xs.min) / math.max(median(xs), 1e-9)
@@ -354,6 +422,10 @@ object Bench {
     val effAll = median(ratios)
     val ratioJson = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val probeJson = probes.mkString("[", ",", "]")
+    val probeWJson = probesWide.mkString("[", ",", "]")
+    val duringJson = during
+      .map { case (med, mx, n) => s"""{"med":$med,"max":$mx,"n":$n}""" }
+      .mkString("[", ",", "]")
     deleteRecursively(java.nio.file.Paths.get(work))
 
     f"""{"events":$cdcEvents,"n_cores":$scaleN,""" +
@@ -361,13 +433,20 @@ object Bench {
       f""""evps_local4N":${evps(scaleN * 4)}%.0f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""scaling_efficiency_all_reps":$effAll%.3f,""" +
-      f""""probe_ms":$probeJson,"probe_ref_ms":$probeRef,""" +
+      f""""probe_ms":$probeJson,"probe_wide_ms":$probeWJson,""" +
+      f""""probe_during_ms":$duringJson,""" +
+      f""""probe_ref_ms":$probeRef,"probe_wide_ref_ms":$probeWideRef,""" +
+      f""""probe_during_ref_ms":$duringRef,""" +
       f""""healthy_reps":${healthyIdx.size},"total_reps":${pairs.length},""" +
       f""""efficiency_method":"median of counterbalanced paired N/4N """ +
       (if (useChildren) f"""ratios, taskset-pinned N-core child JVMs"""
        else f"""ratios, warmed sessions in one hot JVM""") +
-      f"""; reps conditioned on a healthy host probe (pure-CPU loop """ +
-      f"""<=1.35x reference, probe-only trigger, acceptance-band-blind)",""" +
+      f"""; reps conditioned on healthy host probes: width-1 and width-4N """ +
+      f"""pure-CPU loops before each rep (4N detects co-tenant contention """ +
+      f"""that starves only the wide level) plus a continuous width-1 """ +
+      f"""sampler DURING the rep (median; catches mid-rep degradation), """ +
+      f"""all <=1.35x reference — probe-only trigger, """ +
+      f"""acceptance-band-blind",""" +
       f""""paired_ratios":$ratioJson}"""
   }
 }
