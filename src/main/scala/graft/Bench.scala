@@ -265,36 +265,74 @@ object Bench {
     (System.nanoTime() - t0) / 1000000L
   }
 
-  /** Continuous host sampler: ONE background thread timing the width-1
-    * probe loop back-to-back while a rep's replays run, so degradation
-    * arriving MID-REP is caught (measured 2026-08-17: a rep whose
-    * pre-rep probes were healthy degraded during its replays — evps fell
-    * ~20% at both levels — and no instantaneous probe could see it).
-    * Width 1 keeps interference negligible: one extra busy thread next
-    * to an 8-thread replay on a 32-core host, and when the host IS
-    * healthy the loop costs the replay nothing. The rep's health stat is
-    * the MEDIAN sample (robust to a one-off GC-safepoint pause of the
-    * sampler thread).
+  /** Continuous host sampler: a SEPARATE tiny child JVM (no Spark) timing
+    * the width-1 probe loop back-to-back for the whole scaling phase,
+    * appending `<epochMillis> <ms>` lines to a file; reps attribute
+    * samples by timestamp. Why out-of-process: (a) degradation arriving
+    * MID-REP is caught (measured 2026-08-17: a rep whose pre-rep probes
+    * were healthy degraded during its replays — evps fell ~20% at both
+    * levels — and no instantaneous probe could see it); (b) when per-level
+    * CPU pinning is on (see [[pinSelf]]), an in-process sampler thread
+    * would live INSIDE the level's core budget and steal 1/N of it —
+    * disproportionately from the small level; the child process stays
+    * outside the pinned set (itself pinned to the machine's two highest
+    * cores when taskset exists, so it never competes with level cores);
+    * (c) one long-lived child avoids this microVM's fresh-JVM page-fault
+    * storms polluting the first samples of every rep.
     */
-  private final class HostSampler {
-    private val buf = scala.collection.mutable.ArrayBuffer[Long]()
-    @volatile private var stopped = false
-    private val t = new Thread(() => {
-      while (!stopped) {
-        val ms = hostProbeMs(1)
-        buf.synchronized { buf += ms }
-      }
-    })
-    t.setDaemon(true)
-    t.start()
-    /** Stop and return (median, max, n) of the collected samples. */
-    def finish(): (Long, Long, Int) = {
-      stopped = true
-      t.join(5000)
-      val xs = buf.synchronized { buf.toVector }.sorted
-      if (xs.isEmpty) (0L, 0L, 0)
-      else (xs(xs.size / 2), xs.last, xs.size)
+  private final class HostSamplerProc(work: String) {
+    private val file = java.nio.file.Paths.get(work, "host-sampler.txt")
+    private val javaBin = System.getProperty("java.home") + "/bin/java"
+    private val nCores = Runtime.getRuntime.availableProcessors()
+    private val pin =
+      if (tasksetUsable && nCores >= 4)
+        Seq("/usr/bin/taskset", "-c", s"${nCores - 2},${nCores - 1}")
+      else Nil
+    private val proc = {
+      val cmd = pin ++ Seq(javaBin, "-Xmx128m",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchSampler", file.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectErrorStream(true)
+      pb.start()
     }
+    /** (median, max, n) of samples whose timestamp ∈ [fromMs, toMs]. */
+    def window(fromMs: Long, toMs: Long): (Long, Long, Int) = {
+      val xs =
+        try {
+          new String(java.nio.file.Files.readAllBytes(file)).linesIterator
+            .flatMap { l =>
+              val p = l.trim.split(" ")
+              if (p.length == 2) {
+                try {
+                  val (ts, ms) = (p(0).toLong, p(1).toLong)
+                  if (ts >= fromMs && ts <= toMs) Some(ms) else None
+                } catch { case _: Throwable => None }
+              } else None
+            }.toVector.sorted
+        } catch { case _: Throwable => Vector.empty[Long] }
+      if (xs.isEmpty) (0L, 0L, 0) else (xs(xs.size / 2), xs.last, xs.size)
+    }
+    def stop(): Unit = { proc.destroy(); proc.waitFor() }
+  }
+
+  private def tasksetUsable: Boolean = java.nio.file.Files.isExecutable(
+    java.nio.file.Paths.get("/usr/bin/taskset"))
+
+  /** Pin EVERY thread of this JVM to `cores` (e.g. "0-1"), via
+    * `taskset -acp` — the `-a` is load-bearing: plain `-p` pins only the
+    * primordial thread, and a JVM's main() (and everything it spawns)
+    * runs on a different thread (measured: without -a an 8-thread burn
+    * pinned "to 2 cores" still ran at full speed; with -a it slowed the
+    * expected 3.9x).
+    */
+  private def pinSelf(cores: String): Unit = {
+    val pb = new ProcessBuilder("/usr/bin/taskset", "-acp", cores,
+      ProcessHandle.current().pid().toString)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectErrorStream(true)
+    pb.start().waitFor()
   }
 
   private def cdcScaling(work: String, ledger: String, warmLedger: String,
@@ -326,17 +364,32 @@ object Bench {
     // period cannot own the whole sample (round-3 lesson)
     val repSleepMs = sys.env.getOrElse("SPARK_GRAFT_REP_SLEEP_MS", "10000").toLong
     val useChildren = sys.env.contains("SPARK_GRAFT_CHILD_JVMS")
+    // Per-level HOT-JVM CPU pinning (default on when taskset exists;
+    // SPARK_GRAFT_PIN_HOT=0 disables): each level's warm + timed replay
+    // runs with EVERY JVM thread pinned to exactly its core budget
+    // (`taskset -acp 0-(n-1)` on our own pid) — an n-core executor node
+    // in miniature, in the stable hot JVM. Round-2 rejected pinned FRESH
+    // child JVMs for this microVM's page-fault storms; pinning the hot
+    // JVM keeps their honesty without that cost. Without pinning, the
+    // small level silently borrows idle host cores for GC/JIT/IO/codec
+    // threads (round-2 finding), inflating evps@N and deflating every
+    // ratio — measured 2026-08-17: unpinned healthy-host ratios ~0.70
+    // with evps@2 super-linear per core.
+    val pinHot = tasksetUsable &&
+      sys.env.getOrElse("SPARK_GRAFT_PIN_HOT", "1") == "1"
+    val allCores = s"0-${Runtime.getRuntime.availableProcessors() - 1}"
     val pairs = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     val probes = scala.collection.mutable.ArrayBuffer[Long]()
     val probesWide = scala.collection.mutable.ArrayBuffer[Long]()
     val during = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val sampler = new HostSamplerProc(work)
     def runPair(k: Int): Unit = {
       if (k > 1 && repSleepMs > 0) Thread.sleep(repSleepMs)
       val probe = hostProbeMs(1)
       val probeW = hostProbeMs(scaleN * 4)
       probes += probe
       probesWide += probeW
-      val sampler = new HostSampler
+      val repStart = System.currentTimeMillis()
       // counterbalanced order (N,4N / 4N,N alternating): monotone host
       // drift within a rep otherwise biases every paired ratio the same way
       val order = if (k % 2 == 1) Seq(scaleN, scaleN * 4)
@@ -347,17 +400,21 @@ object Bench {
             childReplayEvps(n, ledger, warmLedger, warmCfg.nEvents,
               cdcEvents, work, s"n$n-$k")
           } else {
-            val s = session(n, filesMaxPartitionBytes =
-              sys.env.get("SPARK_GRAFT_CDC_MAX_PARTITION"))
-            // warm EVERY session: an under-warmed level biases its ratio
-            replayRun(s, warmLedger, work, warmCfg.nEvents, s"warm$n-$k")
-            val r = replayRun(s, ledger, work, cdcEvents, s"n$n-$k")
-            s.stop()
-            r
+            if (pinHot) pinSelf(s"0-${n - 1}")
+            try {
+              val s = session(n, filesMaxPartitionBytes =
+                sys.env.get("SPARK_GRAFT_CDC_MAX_PARTITION"))
+              // warm EVERY session: an under-warmed level biases its ratio
+              replayRun(s, warmLedger, work, warmCfg.nEvents, s"warm$n-$k")
+              val r = replayRun(s, ledger, work, cdcEvents, s"n$n-$k")
+              s.stop()
+              r
+            } finally if (pinHot) pinSelf(allCores)
           }
         n -> evps
       }.toMap
-      val (dMed, dMax, dN) = sampler.finish()
+      val (dMed, dMax, dN) =
+        sampler.window(repStart, System.currentTimeMillis())
       during += ((dMed, dMax, dN))
       System.err.println(f"[bench] rep $k: probe=${probe}ms " +
         f"probeW=${probeW}ms during(med/max/n)=$dMed/$dMax/$dN " +
@@ -426,6 +483,7 @@ object Bench {
     val duringJson = during
       .map { case (med, mx, n) => s"""{"med":$med,"max":$mx,"n":$n}""" }
       .mkString("[", ",", "]")
+    sampler.stop()
     deleteRecursively(java.nio.file.Paths.get(work))
 
     f"""{"events":$cdcEvents,"n_cores":$scaleN,""" +
@@ -440,6 +498,9 @@ object Bench {
       f""""healthy_reps":${healthyIdx.size},"total_reps":${pairs.length},""" +
       f""""efficiency_method":"median of counterbalanced paired N/4N """ +
       (if (useChildren) f"""ratios, taskset-pinned N-core child JVMs"""
+       else if (pinHot) f"""ratios, warmed sessions in one hot JVM with """ +
+         f"""every thread taskset-pinned to the level's n cores """ +
+         f"""(n-core node in miniature; no idle-core borrowing)"""
        else f"""ratios, warmed sessions in one hot JVM""") +
       f"""; reps conditioned on healthy host probes: width-1 and width-4N """ +
       f"""pure-CPU loops before each rep (4N detects co-tenant contention """ +
@@ -448,6 +509,24 @@ object Bench {
       f"""all <=1.35x reference — probe-only trigger, """ +
       f"""acceptance-band-blind",""" +
       f""""paired_ratios":$ratioJson}"""
+  }
+}
+
+/** Sampler child main (see `Bench.HostSamplerProc`): appends
+  * `<epochMillis> <probeMs>` lines forever; the parent kills it. No
+  * Spark, tiny heap — exists so host-health sampling lives OUTSIDE the
+  * bench JVM's per-level CPU pinning.
+  */
+object BenchSampler {
+  def main(args: Array[String]): Unit = {
+    val out = java.nio.file.Paths.get(args(0))
+    while (true) {
+      val t = System.currentTimeMillis()
+      val ms = Bench.hostProbeMs(1)
+      java.nio.file.Files.writeString(out, s"$t $ms\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 }
 
