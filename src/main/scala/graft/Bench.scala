@@ -45,6 +45,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
+      // storage-committer config a tuned deployment uses: direct task
+      // commits (v2) and no LocalFS CRC sidecars — on this tmpfs sandbox
+      // the default LocalFileSystem spends ~5 ms/file on checksum
+      // bookkeeping, a FIXED cost per (bucket x salt) output file that
+      // deflates the paired scaling ratio at both levels equally
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
     // Optional scan-partition-size override (SPARK_GRAFT_CDC_MAX_PARTITION).
     // Measured on this host: 512 MB tasks LOWERED replay throughput ~15%
     // (stragglers + fewer tasks than threads on pruned scans) despite a
@@ -547,6 +556,10 @@ object BenchChild {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$work/sl-$cores-${System.nanoTime()}")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def replay(src: String, nEvents: Long, tag: String): Double = {

@@ -534,11 +534,13 @@ object IceLite {
       bucketCol: Option[String], schemaId: Int): Seq[DataFileEntry] = {
     val safe = epochKey.replaceAll("[^A-Za-z0-9._-]", "_")
     val staging = Paths.get(dir, "data", s".staging-$safe-${System.nanoTime()}")
-    bucketCol match {
-      case Some(bc) =>
-        df.write.partitionBy(bc).mode("overwrite").parquet(staging.toString)
-      case None =>
-        df.write.mode("overwrite").parquet(staging.toString)
+    graft.util.Phase("stage.write-job") {
+      bucketCol match {
+        case Some(bc) =>
+          df.write.partitionBy(bc).mode("overwrite").parquet(staging.toString)
+        case None =>
+          df.write.mode("overwrite").parquet(staging.toString)
+      }
     }
     // harvest part files into data/, named by epoch+bucket (collision-free:
     // one staging dir per attempt; final names carry a sequence number)
@@ -557,17 +559,19 @@ object IceLite {
         }
       }
     }
-    bucketCol match {
-      case Some(bc) =>
-        val it = Files.list(staging).iterator()
-        while (it.hasNext) {
-          val d = it.next()
-          val n = d.getFileName.toString
-          if (n.startsWith(s"$bc=")) {
-            harvest(d, n.substring(bc.length + 1).toInt)
+    graft.util.Phase("stage.harvest") {
+      bucketCol match {
+        case Some(bc) =>
+          val it = Files.list(staging).iterator()
+          while (it.hasNext) {
+            val d = it.next()
+            val n = d.getFileName.toString
+            if (n.startsWith(s"$bc=")) {
+              harvest(d, n.substring(bc.length + 1).toInt)
+            }
           }
-        }
-      case None => harvest(staging, 0)
+        case None => harvest(staging, 0)
+      }
     }
     // remove staging leftovers (_SUCCESS etc.)
     deleteRecursively(staging)

@@ -60,6 +60,22 @@ object Dedup {
   def latestPerKeyViaWinners(events: DataFrame): DataFrame =
     latestPerKeyAdaptive(events)
 
+  /** [[latestPerKeyAdaptive]] that also reports the winner count when the
+    * broadcast path ran (None on the large-key fallback). The count is
+    * free — the adaptive size check already computes it — and callers
+    * (Merge) use it to size the salted write: lane count should track
+    * per-bucket volume and reducer parallelism, not a constant (a
+    * constant 4 salts made a 20k-event CTAS open 256 parquet writers —
+    * 1.6 s of pure fixed cost, the dominant Amdahl term in the replay).
+    */
+  def latestPerKeyWithCount(events: DataFrame,
+      maxBroadcastKeys: Long = 4000000L): (DataFrame, Option[Long]) = {
+    var n: Option[Long] = None
+    val df = latestPerKeyAdaptive(events, maxBroadcastKeys,
+      onWinnerCount = c => n = Some(c))
+    (df, n)
+  }
+
   /** Size-checked payload-light dedup for batch replays. The winner set
     * `(url → max (warc_ts, offset, partition))` is computed over four
     * pruned fixed-width columns, cached, and counted; when it fits
@@ -77,7 +93,8 @@ object Dedup {
     * switch strategy — the payload shuffle cost would already be paid.
     */
   def latestPerKeyAdaptive(events: DataFrame,
-      maxBroadcastKeys: Long = 4000000L): DataFrame = {
+      maxBroadcastKeys: Long = 4000000L,
+      onWinnerCount: Long => Unit = _ => ()): DataFrame = {
     val ver = struct(col("warc_ts"), col("offset"), col("partition"))
     // localCheckpoint, NOT cache(): cache() registers the frame in the
     // session-wide CacheManager, which holds it strongly — a per-batch
@@ -86,11 +103,15 @@ object Dedup {
     // by the ContextCleaner as soon as the returned plan is unreferenced.
     // Eager by default, so count() and the broadcast build both read the
     // materialized blocks instead of re-running the aggregation.
-    val winners = events.groupBy(col("url")).agg(max(ver).as("_ver"))
-      .select(col("url").as("_wurl"), col("_ver.warc_ts").as("_wts"),
-        col("_ver.offset").as("_woff"), col("_ver.partition").as("_wpart"))
-      .localCheckpoint()
-    if (winners.count() <= maxBroadcastKeys) {
+    val winners = graft.util.Phase("dedup.winners-agg") {
+      events.groupBy(col("url")).agg(max(ver).as("_ver"))
+        .select(col("url").as("_wurl"), col("_ver.warc_ts").as("_wts"),
+          col("_ver.offset").as("_woff"), col("_ver.partition").as("_wpart"))
+        .localCheckpoint()
+    }
+    val nWinners = graft.util.Phase("dedup.winners-count") { winners.count() }
+    if (nWinners <= maxBroadcastKeys) {
+      onWinnerCount(nWinners)
       // null-safe equality (<=>): a winning event with a NULL version
       // component must still match itself, exactly as latestPerKey keeps
       // it (EqualNullSafe remains a hash-join-able equi key)

@@ -72,7 +72,7 @@ object Merge {
   def apply(spark: SparkSession, tableDir: String, changes: DataFrame,
       epochKey: String, nSalts: Int = 4,
       preDeduped: Boolean = false): CommitResult = {
-    val pre = IceLite.load(tableDir)
+    val pre = graft.util.Phase("merge.load") { IceLite.load(tableDir) }
     if (pre.committedEpoch(epochKey)) {
       return CommitResult(epochKey, committed = false, pre.snapshotId,
         Set.empty, 0L, 0L, 0L, Nil)
@@ -84,8 +84,9 @@ object Merge {
     // history per url — use the payload-light winner-filter dedup there;
     // streaming micro-batches arrive preDeduped (low duplication, one-pass
     // max_by in Pipeline)
-    val deduped = if (preDeduped) changes
-      else Dedup.latestPerKeyViaWinners(changes)
+    val (deduped, winnerCount) =
+      if (preDeduped) (changes, None)
+      else Dedup.latestPerKeyWithCount(changes)
     // Winner rows in physical-table shape, resolved by field id so the merge
     // survives renames; extension fields (id > 5) are promoted out of the
     // `extra` map; `text` is computed by the frozen extractor.
@@ -113,6 +114,26 @@ object Merge {
       isDelete.as("_deleted"))
     val urlName = schema.fields.head.name
 
+    // Effective salt-lane count for the write shuffle (capped at nSalts):
+    // lanes exist for exactly two reasons, and both are computable —
+    //  (a) reducer engagement: when the written bucket set is smaller
+    //      than the shuffle's task count, extra lanes spread each
+    //      bucket's extract+write work over more tasks;
+    //  (b) crowding: a bucket holding more rows than one healthy output
+    //      file should split into several.
+    // A CONSTANT lane count instead multiplies parquet writer inits by
+    // nSalts for every commit (a 20k-event CTAS paid 1.6 s opening 256
+    // writers — the dominant fixed cost bounding scaling efficiency, and
+    // 4x the small files every commit feeds to compaction).
+    def effectiveSalts(bucketsWritten: Int, rows: Option[Long]): Int = {
+      val shuffleP = spark.sessionState.conf.numShufflePartitions
+      val engage = math.ceil(2.0 * shuffleP / math.max(1, bucketsWritten)).toInt
+      val crowd = rows.map(r => math.ceil(
+        r.toDouble / math.max(1, bucketsWritten) / 250000.0).toInt)
+        .getOrElse(nSalts)
+      math.max(1, math.min(nSalts, math.max(engage, crowd)))
+    }
+
     // Initial-load fast path (CTAS-style): merging into an EMPTY table has
     // no matched side — no bucket pruning to compute, no carry-forward join.
     // One single pass from scan to committed files (no cache, no stats
@@ -130,8 +151,9 @@ object Merge {
       }
       val rows = deduped.select(preShuffleCols ++ internals: _*)
         .withColumn("_bucket", Salt.bucket(col(urlName), nBuckets))
+      val ctasSalts = effectiveSalts(nBuckets, winnerCount)
       val salted = rows.repartition(
-        col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(nSalts.toLong)))
+        col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(ctasSalts.toLong)))
       val withText = textField match {
         case Some(tf) =>
           salted
@@ -144,11 +166,15 @@ object Merge {
               col("_bucket")): _*)
         case None => salted
       }
-      val staged = IceLite.stageFiles(tableDir, epochKey, withText,
-        bucketCol = Some("_bucket"), schemaId = schema.schemaId)
-      val post = IceLite.commit(tableDir, epochKey, "merge",
-        newFiles = staged, replacedBuckets = (0 until nBuckets).toSet,
-        baseVersion = Some(pre.version))
+      val staged = graft.util.Phase("merge.ctas-write") {
+        IceLite.stageFiles(tableDir, epochKey, withText,
+          bucketCol = Some("_bucket"), schemaId = schema.schemaId)
+      }
+      val post = graft.util.Phase("merge.commit") {
+        IceLite.commit(tableDir, epochKey, "merge",
+          newFiles = staged, replacedBuckets = (0 until nBuckets).toSet,
+          baseVersion = Some(pre.version))
+      }
       return CommitResult(epochKey, committed = post.epochKey == epochKey,
         post.snapshotId, (0 until nBuckets).toSet, eventsIn = -1L,
         rowsUpserted = -1L, rowsDeleted = -1L, lineage = Nil)
@@ -194,9 +220,13 @@ object Merge {
       .select(outCols: _*)
       .withColumn("_bucket", Salt.bucket(col(urlName), nBuckets))
 
-    // salted write: hot buckets spread over nSalts tasks, ≤ nSalts files each
+    // salted write: crowded buckets spread over salt lanes, ≤ lanes files
+    // each (lane count adaptive: rewritten rows ≈ affected buckets' prior
+    // content + applied changes; `applied` underestimates, so the engage
+    // term — which needs no row count — carries small rewrites)
+    val mergeSalts = effectiveSalts(affected.size, Some(applied))
     val salted = merged.repartition(
-      col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(nSalts.toLong)))
+      col("_bucket"), pmod(coalesce(col("_offset"), lit(0L)), lit(mergeSalts.toLong)))
     val staged = IceLite.stageFiles(tableDir, epochKey, salted,
       bucketCol = Some("_bucket"), schemaId = schema.schemaId)
     newRows.unpersist()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.icelite.IceLite
+import graft.util.Phase
 import graft.model.Model
 import graft.sources.Ledger
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -25,8 +26,10 @@ object Replay {
   def full(spark: SparkSession, ledgerDir: String, tableDir: String,
       nBuckets: Int = 32, epochPrefix: String = "replay", nSalts: Int = 4,
       dlqDir: Option[String] = None): Int = {
-    if (!IceLite.exists(tableDir)) {
-      IceLite.create(tableDir, Model.pagesSchema, nBuckets)
+    Phase("replay.create") {
+      if (!IceLite.exists(tableDir)) {
+        IceLite.create(tableDir, Model.pagesSchema, nBuckets)
+      }
     }
     val raw = Ledger.scan(spark, ledgerDir)
     dlqDir.foreach { dq =>
@@ -40,11 +43,13 @@ object Replay {
 
     // distinct: ALTER events can be wire-duplicated like any other event;
     // a duplicate must not shift segment numbering or add empty epochs
-    val alters = events.filter(col("op") === "ALTER")
-      .select(col("offset"), col("partition"), col("alterJson"))
-      .distinct()
-      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2)))
-      .sortBy(_._1)
+    val alters = Phase("replay.alters-scan") {
+      events.filter(col("op") === "ALTER")
+        .select(col("offset"), col("partition"), col("alterJson"))
+        .distinct()
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2)))
+        .sortBy(_._1)
+    }
 
     var lo: Option[(Long, Int)] = None
     var seg = 0
