@@ -103,6 +103,11 @@ object Bench {
     // scaling laws measured on tiny runs measure startup, not the engine
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
     val work = fastDir()
+    // the work dir lives on tmpfs (= RAM): a killed bench must not leak
+    // gigabytes of ledger/table debris into host memory
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(java.nio.file.Paths.get(work))
+      catch { case _: Throwable => () }))
 
     // ---- phase A: operator queries at local[cpus] ----------------------
     val spark0 = session(cpus)

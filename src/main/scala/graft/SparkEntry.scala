@@ -538,6 +538,22 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "split_assign" -> ((s, d) =>
+      // deterministic train/valid/test membership by stable id: a pure
+      // codegen projection (no shuffle/state), reproducible across runs,
+      // reprocessing and engines — integer lanes of the portable 60-bit
+      // md5 hash, so the DuckDB oracle recomputes membership bit-exactly
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Sampling.splitColumn(col("doc_id")).as("split"))),
+
+    "sample_exact" -> ((s, d) =>
+      // deterministic 10% subset by id (stable across runs — the right
+      // tool for a fixed eval carve-out of a moving corpus, where
+      // TABLESAMPLE/df.sample membership drifts)
+      graft.functions.Sampling.deterministicSample(
+        t(s, d, "documents"), col("doc_id"), 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     "multimodal_meta" -> ((s, d) => // no oracle: stubbed decode (see Scaladoc)
       Multimodal.extractMeta(
         t(s, d, "documents").select(col("doc_id"),
@@ -1091,6 +1107,20 @@ object SparkEntry {
       """SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    "split_assign" ->
+      """SELECT doc_id, CASE
+           WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT
+             % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT
+             % 100 < 90 THEN 'valid'
+           ELSE 'test' END AS split
+         FROM documents""",
+
+    "sample_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE ('0x' || substr(md5(doc_id || ':sample'), 1, 15))::BIGINT
+           % 100 < 10""",
 
     "ann_lsh" -> annLshTopkOracle)
 

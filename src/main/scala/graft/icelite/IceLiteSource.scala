@@ -59,6 +59,12 @@ class IceLiteSource extends RelationProvider with SchemaRelationProvider
     * is the CURRENT version — only new commits stream. The lake-side
     * binlog: downstream pipelines (second-hop transforms, indexers)
     * subscribe to the table instead of re-scanning it.
+    * `option("maxVersionsPerBatch", k)` bounds each micro-batch to k
+    * table versions — a deep catch-up (startingVersion far behind head)
+    * streams as bounded batches instead of one giant delta. After a
+    * restart the first offer is uncapped (the engine's committed offset
+    * is not visible to the source; capping below it would regress the
+    * checkpoint), then the cap re-engages.
     *
     * The stream schema is frozen at query start (key, change_type, then
     * the remaining columns of that version's schema) — restart the query
@@ -81,19 +87,33 @@ class IceLiteSource extends RelationProvider with SchemaRelationProvider
     // getOffset would return None and those pending versions were never
     // offered — AvailableNow terminated without draining them, and a
     // continuous query stalled until a future commit bumped current.
-    val startingVersion = resolveStartingVersion(metadataPath,
+    val (startingVersion, fresh) = resolveStartingVersion(metadataPath,
       parameters.get("startingVersion").map(_.trim.toInt)
         .getOrElse(IceLite.currentVersion(dir)))
-    new IceLiteStreamSource(sqlContext.sparkSession, dir, startingVersion)
+    // admission control: cap each micro-batch at k table versions, so a
+    // long catch-up (startingVersion far behind head) streams as bounded
+    // batches instead of one giant delta
+    val maxVersions = parameters.get("maxVersionsPerBatch").map(_.trim.toInt)
+    maxVersions.foreach(k => require(k >= 1,
+      s"icelite: maxVersionsPerBatch must be >= 1 (got $k)"))
+    new IceLiteStreamSource(sqlContext.sparkSession, dir, startingVersion,
+      maxVersions, seedFloor = fresh)
   }
 
   /** First start: persist `fresh` under the checkpoint's metadataPath and
-    * return it. Restart: return the persisted value, ignoring `fresh`.
-    * Only this query's driver touches its own checkpoint dir, so a plain
-    * temp-file + ATOMIC_MOVE publish is race-free; an unreadable file
-    * (crash mid-first-start) is treated as absent and rewritten.
+    * return `(fresh, true)`. Restart: return the persisted value and
+    * `false`. Only this query's driver touches its own checkpoint dir, so
+    * a plain temp-file + ATOMIC_MOVE publish is race-free; an unreadable
+    * file (crash mid-first-start) is treated as absent and rewritten.
+    * The freshness flag seeds the rate-limit floor: on a fresh start the
+    * engine provably has no progress beyond `fresh`, so capping can start
+    * from batch one; on restart the real progress lives in the engine's
+    * offset WAL (not visible to the source), so the first offer is
+    * uncapped rather than risk offering an offset BEHIND the committed
+    * one (which would regress the checkpoint).
     */
-  private def resolveStartingVersion(metadataPath: String, fresh: Int): Int = {
+  private def resolveStartingVersion(metadataPath: String,
+      fresh: Int): (Int, Boolean) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val mp = if (metadataPath.startsWith("file:"))
       new java.net.URI(metadataPath).getPath else metadataPath
@@ -105,14 +125,14 @@ class IceLiteSource extends RelationProvider with SchemaRelationProvider
             java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
         else None
       } catch { case _: Throwable => None }
-    persisted.getOrElse {
+    persisted.map((_, false)).getOrElse {
       Files.createDirectories(f.getParent)
       val tmp = Files.createTempFile(f.getParent, ".graft-sv", ".tmp")
       Files.write(tmp, fresh.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      fresh
+      (fresh, true)
     }
   }
 
@@ -232,12 +252,22 @@ object IceLiteStreamSource {
   * net row delta between two versions.
   */
 class IceLiteStreamSource(spark: org.apache.spark.sql.SparkSession,
-    dir: String, startingVersion: Int)
+    dir: String, startingVersion: Int,
+    maxVersionsPerBatch: Option[Int] = None, seedFloor: Boolean = true)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override val schema: StructType = IceLiteStreamSource.changeSchema(dir)
+
+  /** Rate-limit floor: the highest version this source KNOWS the engine
+    * has been given (last offer or last served batch end). `None` until
+    * known — a restarted query's real progress lives in the engine's WAL,
+    * so the first post-restart offer goes uncapped (see
+    * `resolveStartingVersion`); every later one caps at floor + k.
+    */
+  private var floor: Option[Int] =
+    if (seedFloor) Some(startingVersion) else None
 
   private def ver(o: V1Offset): Int = o match {
     case LongOffset(v) => v.toInt
@@ -245,15 +275,25 @@ class IceLiteStreamSource(spark: org.apache.spark.sql.SparkSession,
   }
 
   override def getOffset: Option[V1Offset] = {
-    val v = IceLite.currentVersion(dir)
-    if (v <= startingVersion) None else Some(LongOffset(v.toLong))
+    val cur = IceLite.currentVersion(dir)
+    val target = (maxVersionsPerBatch, floor) match {
+      case (Some(k), Some(f)) => math.min(cur, f + k)
+      case _ => cur
+    }
+    if (target <= startingVersion) None
+    else {
+      floor = Some(math.max(floor.getOrElse(target), target))
+      Some(LongOffset(target.toLong))
+    }
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    floor = Some(math.max(floor.getOrElse(to), to))
     val delta = graft.operators.Changes
-      .between(spark, dir, from, Some(ver(end)))
+      .between(spark, dir, from, Some(to))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     org.apache.spark.sql.graftbridge.PlanBridge

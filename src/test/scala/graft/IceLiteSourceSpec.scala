@@ -251,6 +251,31 @@ class IceLiteSourceSpec extends SparkTestBase {
     assert(ins.length == 2 && ins.forall(_.getLong(0) == 7L))
   }
 
+  test("change-stream admission control: maxVersionsPerBatch bounds each " +
+      "micro-batch during catch-up (3 capped batches, not one giant delta)") {
+    val dir = mkTable("dcap", 10) // v2 = rows 1..10
+    val s2 = IceLite.stageFiles(dir, "e2", mkRows(3), Some("_bucket"), 1)
+    IceLite.commit(dir, "e2", "merge", s2, (0 until 4).toSet) // v3: rows 1..3
+    val s3 = IceLite.stageFiles(dir, "e3", mkRows(2, "cap"), Some("_bucket"), 1)
+    IceLite.commit(dir, "e3", "merge", s3, (0 until 4).toSet) // v4: 2 cap rows
+    val out = tmpDir("dcap_out")
+    val q = spark.readStream.format("icelite")
+      .option("startingVersion", 1).option("maxVersionsPerBatch", 1)
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmpDir("dcap_cp"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // deltas: v1->v2 = 10 inserts; v2->v3 = 7 deletes; v3->v4 = 3
+      // deletes + 2 inserts -> 22 change rows over exactly 3 data batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 capped batches, got ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+    assert(spark.read.parquet(out).count() == 22)
+  }
+
   test("write: append commits are epoch-idempotent; overwrite replaces") {
     val dir = tmpDir("dwrite")
     val rows = mkRows(4, "w").select("url", "warc_ts", "html", "text", "lang")

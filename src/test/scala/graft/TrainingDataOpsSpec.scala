@@ -253,6 +253,33 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(rows(1L).getString(4).length == 32)
   }
 
+  test("deterministic split/sample: stable membership, disjoint cover, " +
+      "sane proportions, purpose-independent decisions") {
+    import graft.functions.Sampling
+    val ids = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val split = ids.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id")).as("split"))
+    // stable across evaluations (pure projection of the id)
+    assert(split.collect().toSet == ids.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id")).as("split")).collect().toSet)
+    // disjoint cover with sane proportions (binomial: 80/10/10 +- a few %)
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == 2000 && byS.keySet == Set("train", "valid", "test"))
+    assert(byS("train") > 1500 && byS("train") < 1700, byS.toString)
+    assert(byS("valid") > 130 && byS("valid") < 270, byS.toString)
+    // sampling: deterministic, ~10%, and INDEPENDENT of the split
+    // decision (different salt): the sample's split mix stays ~80/10/10
+    val sampled = Sampling.deterministicSample(ids, col("doc_id"), 10)
+    assert(sampled.collect().toSet ==
+      Sampling.deterministicSample(ids, col("doc_id"), 10).collect().toSet)
+    val n = sampled.count()
+    assert(n > 140 && n < 270, s"sample size $n")
+    val trainShare = sampled.join(split, "doc_id")
+      .filter(col("split") === "train").count().toDouble / n
+    assert(trainShare > 0.65 && trainShare < 0.92, s"share $trainShare")
+  }
+
   test("multimodal metadata extraction: real plumbing, stub decode") {
     val media = (0 until 50)
       .map(i => (i.toLong, graft.sources.Ledger.makeHtml(
