@@ -279,6 +279,34 @@ object Bench {
     (System.nanoTime() - t0) / 1000000L
   }
 
+  /** Fresh-page allocation probe: touch 256 MB of NEWLY allocated pages
+    * (one write per 4 KB page) and return wall ms. Measures the guest
+    * page-fault path — the one degradation mode measured on this microVM
+    * (2026-08-17) that pure-CPU and warm-memory-bandwidth probes CANNOT
+    * see: one window ran the engine ~40% slow at both levels while CPU
+    * loops read healthy and an 8-thread array scan did 40 GB/s, yet
+    * fresh-touch timing sat at 150-460 ms where a healthy host measures
+    * ~36 ms — a 4-13x discriminator, the sharpest of the probe family.
+    * Callers take the MIN of two back-to-back touches (a young-GC pause
+    * inside one touch can double a single reading; it will not hit both)
+    * and gate at 3.5x reference — far above GC jitter, far below the
+    * degraded band.
+    */
+  private[graft] def allocProbeMs(): Long = {
+    val t0 = System.nanoTime()
+    var c = 0
+    val chunks = new Array[Array[Byte]](32)
+    while (c < 32) {
+      val a = new Array[Byte](8 * 1024 * 1024)
+      var i = 0
+      while (i < a.length) { a(i) = 1; i += 4096 }
+      chunks(c) = a
+      c += 1
+    }
+    if (chunks(31)(0) == 2) System.err.print("") // keep alive
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   /** Continuous host sampler: a SEPARATE tiny child JVM (no Spark) timing
     * the width-1 probe loop back-to-back for the whole scaling phase,
     * appending `<epochMillis> <ms>` lines to a file; reps attribute
@@ -374,6 +402,7 @@ object Bench {
     // reference is min(this, best probe observed in the run) so a
     // faster future host self-calibrates downward
     val probeRefMs = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_MS", "1350").toLong
+    val allocRefMs = sys.env.getOrElse("SPARK_GRAFT_ALLOC_REF_MS", "120").toLong
     // spread the reps over a longer wall-clock window so one bad host
     // period cannot own the whole sample (round-3 lesson)
     val repSleepMs = sys.env.getOrElse("SPARK_GRAFT_REP_SLEEP_MS", "10000").toLong
@@ -395,14 +424,17 @@ object Bench {
     val pairs = scala.collection.mutable.ArrayBuffer[Map[Int, Double]]()
     val probes = scala.collection.mutable.ArrayBuffer[Long]()
     val probesWide = scala.collection.mutable.ArrayBuffer[Long]()
+    val probesAlloc = scala.collection.mutable.ArrayBuffer[Long]()
     val during = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
     val sampler = new HostSamplerProc(work)
     def runPair(k: Int): Unit = {
       if (k > 1 && repSleepMs > 0) Thread.sleep(repSleepMs)
       val probe = hostProbeMs(1)
       val probeW = hostProbeMs(scaleN * 4)
+      val probeA = math.min(allocProbeMs(), allocProbeMs())
       probes += probe
       probesWide += probeW
+      probesAlloc += probeA
       val repStart = System.currentTimeMillis()
       // counterbalanced order (N,4N / 4N,N alternating): monotone host
       // drift within a rep otherwise biases every paired ratio the same way
@@ -431,7 +463,8 @@ object Bench {
         sampler.window(repStart, System.currentTimeMillis())
       during += ((dMed, dMax, dN))
       System.err.println(f"[bench] rep $k: probe=${probe}ms " +
-        f"probeW=${probeW}ms during(med/max/n)=$dMed/$dMax/$dN " +
+        f"probeW=${probeW}ms probeA=${probeA}ms " +
+        f"during(med/max/n)=$dMed/$dMax/$dN " +
         f"evps@$scaleN=${pair(scaleN)}%.0f " +
         f"evps@${scaleN * 4}=${pair(scaleN * 4)}%.0f " +
         f"ratio=${pair(scaleN * 4) / (4.0 * pair(scaleN))}%.3f")
@@ -463,6 +496,7 @@ object Bench {
     def probeWideRef = math.min(probeRefMs, probesWide.min)
     def duringRef = math.min(probeRefMs,
       during.map(_._1).filter(_ > 0).minOption.getOrElse(probeRefMs))
+    def allocRef = math.min(allocRefMs, probesAlloc.min)
     // healthy = single-core latency intact before the rep, 4N cores
     // deliverable before the rep, AND the median in-rep sample clean —
     // the three cover instantaneous narrow, instantaneous wide, and
@@ -470,6 +504,7 @@ object Bench {
     def healthyIdx = probes.indices.filter(i =>
       probes(i) <= 1.35 * probeRef &&
       probesWide(i) <= 1.35 * probeWideRef &&
+      probesAlloc(i) <= 3.5 * allocRef &&
       during(i)._1 <= 1.35 * duringRef)
     def healthyRatios = { val r = ratios; healthyIdx.map(r) }
     def spreadOf(xs: Seq[Double]): Double =
@@ -506,6 +541,8 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""scaling_efficiency_all_reps":$effAll%.3f,""" +
       f""""probe_ms":$probeJson,"probe_wide_ms":$probeWJson,""" +
+      f""""probe_alloc_ms":${probesAlloc.mkString("[", ",", "]")},""" +
+      f""""probe_alloc_ref_ms":$allocRef,""" +
       f""""probe_during_ms":$duringJson,""" +
       f""""probe_ref_ms":$probeRef,"probe_wide_ref_ms":$probeWideRef,""" +
       f""""probe_during_ref_ms":$duringRef,""" +
@@ -518,9 +555,11 @@ object Bench {
        else f"""ratios, warmed sessions in one hot JVM""") +
       f"""; reps conditioned on healthy host probes: width-1 and width-4N """ +
       f"""pure-CPU loops before each rep (4N detects co-tenant contention """ +
-      f"""that starves only the wide level) plus a continuous width-1 """ +
+      f"""that starves only the wide level), a fresh-page allocation probe """ +
+      f"""(<=3.5x ref; the guest fault path degrades 4-13x in windows no """ +
+      f"""CPU or bandwidth probe can see), plus a continuous width-1 """ +
       f"""sampler DURING the rep (median; catches mid-rep degradation), """ +
-      f"""all <=1.35x reference — probe-only trigger, """ +
+      f"""CPU probes <=1.35x reference — probe-only trigger, """ +
       f"""acceptance-band-blind",""" +
       f""""paired_ratios":$ratioJson}"""
   }
