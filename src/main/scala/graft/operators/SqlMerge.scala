@@ -308,18 +308,31 @@ object SqlMerge {
     if (scanBuckets.isEmpty && deterministicPlan) {
       // ---- UNPRUNED, repeatable statement: two-pass — an aggregate-only
       // probe over the full join finds the affected buckets, then the
-      // write re-derives the merge with the TARGET scan pruned to those
-      // buckets. Cost: join evaluated twice, but the table is never
-      // spooled to executor-local disk (the checkpoint path writes the
-      // whole table once to local disk and again to the table — 2x write;
-      // at 100 TB the 2x read is the right trade). Pass-2 target pruning
-      // is sound: every changed row's old AND new bucket is in `affected`,
-      // so a source row whose match was pruned away can only produce a
-      // spurious insert aimed at an UNaffected bucket — dropped by the
-      // `__newb IN affected` filter in outOf.
+      // write re-derives the merge, with the TARGET scan pruned to those
+      // buckets WHEN that is provably sound. Cost: join evaluated twice,
+      // but the table is never spooled to executor-local disk (the
+      // checkpoint path writes the whole table once to local disk and
+      // again to the table — 2x write; at 100 TB the 2x read is the
+      // right trade).
+      //
+      // Pass-2 target-pruning soundness: every changed row's old AND new
+      // bucket is in `affected`, so pruning only hides UNCHANGED matched
+      // target rows — whose source partners then look unmatched in pass
+      // 2 and can fire a spurious INSERT. That insert is harmless only
+      // when its key provably equals the hidden match's key (the merge
+      // condition pins the key and every insert uses it): the spurious
+      // row then aims at the hidden row's UNaffected bucket and the
+      // `__newb IN affected` filter in outOf drops it. With an insert
+      // key unrelated to the match key, the spurious row could land
+      // INSIDE an affected bucket — so those statements re-scan the full
+      // target in pass 2 (still no checkpoint spool).
       val affected = affectedOf(mergedFrame(None))
       if (affected.isEmpty) return // every clause missed: a no-op
-      val out = outOf(mergedFrame(Some(affected)), affected)
+      val pass2Buckets =
+        if (inserts.isEmpty || (srcKeyExpr.isDefined && insertsUseKey))
+          Some(affected)
+        else None
+      val out = outOf(mergedFrame(pass2Buckets), affected)
       commitRewrite(spark, dir, pre, out, affected, keyName, nB, "sqlmerge",
         introducesKeys)
     } else {

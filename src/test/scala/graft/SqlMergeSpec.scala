@@ -366,6 +366,31 @@ class SqlMergeSpec extends SparkTestBase {
     assert(state(dir).values.forall(_._2 == "all"))
   }
 
+  test("two-pass merge on a NON-key condition with an unrelated insert " +
+      "key: a matched-but-unchanged row outside the affected buckets " +
+      "must not resurface as a spurious INSERT") {
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "x", false), ("b", 2L, "x", false)))
+    val bucketOf = (u: String) => spark.range(1)
+      .select(Salt.bucket(lit(u), 4)).head.getInt(0)
+    assume(bucketOf("a") != bucketOf("b")) // fixture precondition
+    // an insert key that lands in a's (affected) bucket but differs from b
+    val zb = (0 until 64).map(i => s"z$i")
+      .find(u => bucketOf(u) == bucketOf("a")).get
+    // s1 matches a AND fires (affected = {bucket(a)}); s2 matches b with
+    // NO firing clause — if pass 2 pruned the target scan to affected
+    // buckets, s2 would look unmatched and wrongly insert zb INTO an
+    // affected bucket
+    Seq((1L, 1, "ign"), (2L, 0, zb)).toDF("mv", "fire", "u")
+      .createOrReplaceTempView("src_np")
+    spark.sql(s"""
+      MERGE INTO $t tg USING src_np s ON tg.v = s.mv
+      WHEN MATCHED AND s.fire = 1 THEN UPDATE SET tg.tag = 'upd'
+      WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.mv, 'ins')
+    """)
+    assert(state(dir) === Map("a" -> (1L, "upd"), "b" -> (2L, "x")),
+      "spurious insert from pruned pass-2 target scan")
+  }
+
   test("no-op merge (no clause fires) commits nothing") {
     val (t, dir) = mkTable(2, Seq(("a", 1L, "x", false)))
     val v0 = IceLite.load(dir).version
