@@ -204,23 +204,38 @@ class IceLiteSource extends RelationProvider with SchemaRelationProvider
         throw new IllegalStateException(s"icelite table exists: $dir")
       case SaveMode.Ignore if tableExists => ()
       case SaveMode.Overwrite =>
-        if (!tableExists) IceLite.create(dir, data.schema, numBuckets = 1)
-        if (!IceLite.hasEpoch(dir, epoch)) {
-          val m = IceLite.load(dir)
-          // bucket by key: see the layout invariant on IceLite.append
-          val keyName = m.currentSchema.fields.head.name
-          val bucketed = withInternals(data).withColumn("_bucket",
-            graft.functions.Salt.bucket(
-              org.apache.spark.sql.functions.col(keyName), m.numBuckets))
-          val staged = IceLite.stageFiles(dir, epoch, bucketed,
-            bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
-          IceLite.commit(dir, epoch, "overwrite", newFiles = staged,
-            replacedBuckets = (0 until m.numBuckets).toSet)
-        }
+        IceLiteSource.overwriteCommit(spark, dir, epoch, data)
       case _ => // Append / ErrorIfExists / Ignore on a fresh table
         IceLite.append(spark, dir, epoch, data)
     }
     createRelation(sqlContext, parameters)
+  }
+
+}
+
+object IceLiteSource {
+  /** Replace the ENTIRE table content with `data` as one epoch-keyed
+    * commit (creating a fresh single-bucket table when none exists) —
+    * the shared implementation behind `save(Overwrite)` and SQL
+    * `INSERT OVERWRITE`. Every bucket is replaced; existing tombstones
+    * are dropped with the rest of the prior content (full replace
+    * semantics, not a merge).
+    */
+  private[icelite] def overwriteCommit(spark: org.apache.spark.sql.SparkSession,
+      dir: String, epoch: String, data: DataFrame): Unit = {
+    if (!IceLite.exists(dir)) IceLite.create(dir, data.schema, numBuckets = 1)
+    if (!IceLite.hasEpoch(dir, epoch)) {
+      val m = IceLite.load(dir)
+      // bucket by key: see the layout invariant on IceLite.append
+      val keyName = m.currentSchema.fields.head.name
+      val bucketed = withInternals(data).withColumn("_bucket",
+        graft.functions.Salt.bucket(
+          org.apache.spark.sql.functions.col(keyName), m.numBuckets))
+      val staged = IceLite.stageFiles(dir, epoch, bucketed,
+        bucketCol = Some("_bucket"), schemaId = m.currentSchemaId)
+      IceLite.commit(dir, epoch, "overwrite", newFiles = staged,
+        replacedBuckets = (0 until m.numBuckets).toSet)
+    }
   }
 
   private def withInternals(df: DataFrame): DataFrame = {
@@ -420,12 +435,14 @@ case class IceLiteRelation(sqlContext: SQLContext, dir: String,
   }
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    require(!overwrite,
-      "icelite: INSERT OVERWRITE not supported — use the Merge operator " +
-        "or DataFrame save(Overwrite) with an epoch option")
     // non-numeric suffix: see the save() epoch note
-    IceLite.append(sqlContext.sparkSession, dir,
-      s"insert.${System.currentTimeMillis()}-${Integer.toHexString(
-        java.util.concurrent.ThreadLocalRandom.current().nextInt())}", data)
+    val epoch = s"insert.${System.currentTimeMillis()}-${Integer.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextInt())}"
+    if (overwrite) {
+      // SQL INSERT OVERWRITE: full replace as one epoch-keyed commit
+      IceLiteSource.overwriteCommit(sqlContext.sparkSession, dir, epoch, data)
+    } else {
+      IceLite.append(sqlContext.sparkSession, dir, epoch, data)
+    }
   }
 }

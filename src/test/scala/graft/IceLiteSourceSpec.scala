@@ -276,6 +276,30 @@ class IceLiteSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 22)
   }
 
+  test("SQL INSERT OVERWRITE replaces the table content as one commit; " +
+      "SQL CTAS creates a table USING icelite") {
+    val dir = mkTable("dsqlow", 6)
+    spark.sql(s"CREATE TABLE ice_ow USING icelite OPTIONS (path '$dir')")
+    try {
+      mkRows(2, "ow").select("url", "warc_ts", "html", "text", "lang")
+        .createOrReplaceTempView("ow_rows")
+      spark.sql("INSERT OVERWRITE ice_ow SELECT * FROM ow_rows")
+      assert(spark.sql("SELECT count(*) FROM ice_ow").head.getLong(0) == 2)
+      assert(IceLite.load(dir).operation == "overwrite")
+      assert(IceLite.read(spark, dir).count() == 2)
+    } finally spark.sql("DROP TABLE ice_ow")
+    // CTAS: CREATE TABLE ... USING icelite AS SELECT
+    val dir2 = tmpDir("dsqlctas")
+    mkRows(3, "ctas").select("url", "warc_ts", "html", "text", "lang")
+      .createOrReplaceTempView("ctas_rows")
+    spark.sql(s"""CREATE TABLE ice_ctas USING icelite
+      OPTIONS (path '$dir2/t') AS SELECT * FROM ctas_rows""")
+    try {
+      assert(spark.sql("SELECT count(*) FROM ice_ctas").head.getLong(0) == 3)
+      assert(IceLite.read(spark, s"$dir2/t").count() == 3)
+    } finally spark.sql("DROP TABLE ice_ctas")
+  }
+
   test("write: append commits are epoch-idempotent; overwrite replaces") {
     val dir = tmpDir("dwrite")
     val rows = mkRows(4, "w").select("url", "warc_ts", "html", "text", "lang")
