@@ -538,6 +538,15 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "dedup_passages" -> ((s, d) =>
+      // CCNet/C4-style cross-document duplicated-passage removal (the
+      // fixture corpus has no line structure, so the passage unit is a
+      // fixed 8-token chunk; the '\n'-separated form is spec-tested):
+      // chunks duplicated across the corpus drop, the rest rebuild in
+      // order, empty-after-dedup docs survive with empty text
+      DedupOps.dedupPassages(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 8, minDupCount = 2)),
+
     "split_assign" -> ((s, d) =>
       // deterministic train/valid/test membership by stable id: a pure
       // codegen projection (no shuffle/state), reproducible across runs,
@@ -1107,6 +1116,23 @@ object SparkEntry {
       """SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    "dedup_passages" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         c AS (SELECT doc_id, u.j AS pos,
+                 array_to_string(
+                   list_slice(toks, 8 * u.j + 1, 8 * u.j + 8), ' ') AS chunk
+               FROM d,
+                 unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) u(j)),
+         freq AS (SELECT chunk FROM c GROUP BY chunk HAVING count(*) >= 2),
+         kept AS (SELECT * FROM c
+                  WHERE chunk NOT IN (SELECT chunk FROM freq)),
+         r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos)
+                 AS text_kept
+               FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.text_kept, '') AS text_kept
+         FROM d LEFT JOIN r USING (doc_id)""",
 
     "split_assign" ->
       """SELECT doc_id, CASE

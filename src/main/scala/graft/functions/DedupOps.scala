@@ -353,4 +353,44 @@ object DedupOps {
         "component diameter exceeds 2^maxIter; raise maxIter")
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
   }
+
+  /** Cross-document duplicated-passage removal — the CCNet/C4-style
+    * "line dedup" step of a webtext training pipeline, generalized to
+    * corpora without line structure: each document is segmented into
+    * NON-OVERLAPPING `chunkTokens`-token chunks; every chunk whose exact
+    * text occurs `minDupCount`+ times ACROSS the corpus (boilerplate,
+    * navigation, license blocks) is dropped; the remaining chunks are
+    * rebuilt in order. Documents whose chunks all drop survive with
+    * empty text (row count preserved — downstream joins keep working).
+    *
+    * Scale shape: one exploded-chunk aggregation (shuffle bounded by
+    * corpus tokens / chunkTokens with map-side combine), then the
+    * FREQUENT set — only chunks actually duplicated, a tiny fraction of
+    * the corpus — drives a broadcast LEFT ANTI join, so document text
+    * never shuffles; the rebuild is one per-document aggregation. No
+    * all-pairs step, no driver-side text.
+    */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, minDupCount: Long = 2): DataFrame = {
+    require(chunkTokens >= 1 && minDupCount >= 2,
+      s"bad dedupPassages params: $chunkTokens/$minDupCount")
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1), j =>
+        array_join(slice(toks, j * chunkTokens + lit(1), lit(chunkTokens)),
+          " ")))
+        .as(Seq("pos", "chunk")))
+    val frequent = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDupCount)
+      .select(col("chunk"))
+    val kept = chunks.join(broadcast(frequent), Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_kept"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
 }

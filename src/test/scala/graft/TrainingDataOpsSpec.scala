@@ -280,6 +280,26 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(trainShare > 0.65 && trainShare < 0.92, s"share $trainShare")
   }
 
+  test("cross-document passage dedup: shared boilerplate drops, unique " +
+      "text survives in order, fully-boilerplate docs keep an empty row") {
+    import graft.functions.DedupOps
+    // purpose-built corpus where every "passage" is exactly 2 tokens, so
+    // chunkTokens=2 IS passage/line dedup: "dup x" is the cross-document
+    // boilerplate; everything else is unique
+    val lineDocs = Seq(
+      (10L, "u1 a dup x u2 b"), // chunks: [u1 a][dup x][u2 b]
+      (11L, "dup x u3 c"),      // chunks: [dup x][u3 c]
+      (12L, "dup x")            // all boilerplate -> empty text
+    ).toDF("doc_id", "text")
+    val res = DedupOps.dedupPassages(lineDocs, "doc_id", "text",
+      chunkTokens = 2, minDupCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(res.size == 3, "row count must be preserved")
+    assert(res(10L) == "u1 a u2 b", res.toString) // order preserved
+    assert(res(11L) == "u3 c")
+    assert(res(12L) == "") // fully-boilerplate doc survives, empty
+  }
+
   test("multimodal metadata extraction: real plumbing, stub decode") {
     val media = (0 until 50)
       .map(i => (i.toLong, graft.sources.Ledger.makeHtml(
