@@ -114,6 +114,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("P6: dedupPassages == naive per-corpus reference on random corpora " +
+      "(chunking, global frequency, order, row preservation)") {
+    val corpusGen: Gen[(List[String], Int, Int)] = for {
+      nDocs <- Gen.choose(3, 12)
+      vocab <- Gen.choose(2, 6) // tiny vocab forces chunk collisions
+      chunkW <- Gen.oneOf(1, 2, 3)
+      minDup <- Gen.oneOf(2, 3)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 24).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    } yield (docs, chunkW, minDup)
+    forAllSampled(corpusGen, n = 6) { case (docs, chunkW, minDup) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.functions.DedupOps
+        .dedupPassages(df, "doc_id", "text", chunkW, minDup)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // naive reference, driver-side (CLAUDE.md: references in Scala)
+      def chunksOf(t: String): Seq[String] =
+        t.split(" ", -1).toSeq.grouped(chunkW).map(_.mkString(" ")).toSeq
+      val freq = docs.flatMap(chunksOf).groupBy(identity)
+        .collect { case (c, occ) if occ.size >= minDup => c }.toSet
+      val want = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> chunksOf(t).filterNot(freq).mkString(" ")
+      }.toMap
+      assert(got == want, s"chunkW=$chunkW minDup=$minDup docs=$docs")
+    }
+  }
+
   test("P5: extract_text is total and idempotent-ish on arbitrary bytes") {
     forAllSampled(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
         .flatMap(b => Gen.alphaNumStr.map((b, _))), n = 12) { case (bytes, s) =>
