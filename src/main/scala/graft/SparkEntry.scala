@@ -538,6 +538,12 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    "rep_ratio" -> ((s, d) =>
+      // Gopher/RefinedWeb-style repetition signal: duplicate-bigram
+      // fraction per document (0 = no repeats) — codegen projection
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))),
+
     "dedup_passages" -> ((s, d) =>
       // CCNet/C4-style cross-document duplicated-passage removal (the
       // fixture corpus has no line structure, so the passage unit is a
@@ -1116,6 +1122,18 @@ object SparkEntry {
       """SELECT doc_id,
            md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    "rep_ratio" ->
+      """SELECT doc_id,
+           CASE WHEN len(string_split(text, ' ')) < 2
+             THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+               / CAST(len(g) AS DOUBLE) END AS rep_ratio
+         FROM (SELECT doc_id, text,
+             list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                 || string_split(text, ' ')[i + 1]) AS g
+           FROM documents)""",
 
     "dedup_passages" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -76,4 +76,23 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Intra-document repetition ratio (a Gopher/RefinedWeb-style quality
+    * signal): the fraction of token BIGRAMS that are repeats of an
+    * earlier bigram in the same document — near 0 for natural prose,
+    * rising toward 1 for looping boilerplate / keyword stuffing. Pure
+    * codegen-free-of-shuffle projection; documents with fewer than two
+    * tokens score 0 (the <2 guard also keeps the DuckDB oracle
+    * bit-exact: out-of-range list indexing nulls differ between engines
+    * without it). The single double division is the only float op, so
+    * cross-engine values are bit-identical.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    val grams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    when(size(toks) < 2, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+  }
 }

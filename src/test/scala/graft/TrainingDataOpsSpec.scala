@@ -280,6 +280,21 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(trainShare > 0.65 && trainShare < 0.92, s"share $trainShare")
   }
 
+  test("repetition ratio: duplicate-bigram fraction with exact edges") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab ba ab ba ab -> 5 grams, 2 distinct
+      (2L, "u v w x"),      // all distinct -> 0
+      (3L, "solo"),         // <2 tokens -> 0
+      (4L, "")              // empty -> 0
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 3.0 / 5.0, r.toString) // 5 grams, 3 repeats
+    assert(r(2L) == 0.0 && r(3L) == 0.0 && r(4L) == 0.0)
+  }
+
   test("cross-document passage dedup: shared boilerplate drops, unique " +
       "text survives in order, fully-boilerplate docs keep an empty row") {
     import graft.functions.DedupOps
