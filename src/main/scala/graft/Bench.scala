@@ -154,7 +154,9 @@ object Bench {
     // otherwise squeezes host RAM into reclaim stalls mid-measurement
     System.gc()
 
-    val cdc = try { cdcScaling(work, ledger, warmLedger, warmCfg, cdcEvents) }
+    val cdc =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CDC")) "{}" // ad-hoc query timing
+      else try { cdcScaling(work, ledger, warmLedger, warmCfg, cdcEvents) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] cdc phase failed: ${e.getMessage}")
         s"""{"events":$cdcEvents,"error":${jsonStr(e.toString.take(200))}}"""

@@ -89,9 +89,21 @@ object TextAnalysis {
     */
   def repetitionRatio(text: Column): Column = {
     val toks = split(text, " ")
-    val grams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    when(size(toks) < 2, lit(0.0))
+    val n = size(toks)
+    // Bigrams = the array zipped with its shifted self. NOT the
+    // `transform(sequence, i => element_at(toks, i)...)` form:
+    // CollapseProject inlines `toks` into every lambda reference, so
+    // element_at re-evaluates the whole split PER ELEMENT — O(tokens²)
+    // work per document (measured 6.8 s over sf0.1 documents vs well
+    // under a second for this form, the CLAUDE.md HOF trap). zip_with
+    // references `toks` a constant number of times per row. zip_with
+    // pads the shorter side with null (last gram = bare final token);
+    // the outer slice drops it.
+    val grams = slice(
+      zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(1))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(n - 1, lit(1)))
+    when(n < 2, lit(0.0))
       .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
         size(grams).cast("double"))
   }
