@@ -97,11 +97,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 16M events: large enough that the fixed per-replay driver work
-    // (alters scan, winner-set broadcast build, commit, job barriers —
-    // ~3.5 s measured) is a small fraction of even the 8-thread run;
-    // scaling laws measured on tiny runs measure startup, not the engine
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "16000000").toLong
+    // 32M events (raised from 16M in round 5): the residual ~0.7–1.0 s
+    // per-replay fixed cost (dynamic-partition write machinery, serial
+    // driver chain, job barriers) DEFLATES every paired scaling ratio —
+    // numerator pays +F once, denominator pays +4F via the 4× smaller
+    // level — by ~3–5 points at 16M. Doubling the event count halves the
+    // deflation (fixed cost < ~1% of the local[8] numerator) at the price
+    // of a ~2× longer phase B, which the round-4 driver budget (593 s
+    // total) comfortably absorbs. Scaling laws measured on tiny runs
+    // measure startup, not the engine.
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "32000000").toLong
     val work = fastDir()
     // the work dir lives on tmpfs (= RAM): a killed bench must not leak
     // gigabytes of ledger/table debris into host memory
@@ -397,8 +402,12 @@ object Bench {
     // swamp the engine signal (measured swings 0.15–1.3M evps for the
     // identical pinned run). The hot in-JVM measurement is the stable one;
     // BASELINE.md documents the full calibration.
-    val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "8").toInt
+    // 7 base reps (raised from 5 in round 5): with 5, one degraded-window
+    // rep surviving the health gate drags a 3-healthy-rep median; 7 keeps
+    // the healthy median over >=4 reps in the common one-or-two-flagged
+    // case. The longer phase is affordable (see cdcEvents note).
+    val baseReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "7").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "10").toInt
     // absolute healthy-host reference for the degradation probe (ms):
     // calibrated on this VM (≈1300 ms when healthy); the effective
     // reference is min(this, best probe observed in the run) so a
@@ -429,6 +438,12 @@ object Bench {
     val probesAlloc = scala.collection.mutable.ArrayBuffer[Long]()
     val during = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
     val sampler = new HostSamplerProc(work)
+    // the sampler child is an infinite pure-CPU loop: if the scaling phase
+    // aborts (main's catch-and-continue) it must not survive as a detached
+    // ~1-core burner silently degrading every later measurement on this
+    // shared host — stop it on EVERY exit path (and BenchSampler itself
+    // exits on parent death via its stdin-EOF watchdog)
+    try {
     def runPair(k: Int): Unit = {
       if (k > 1 && repSleepMs > 0) Thread.sleep(repSleepMs)
       val probe = hostProbeMs(1)
@@ -534,9 +549,6 @@ object Bench {
     val duringJson = during
       .map { case (med, mx, n) => s"""{"med":$med,"max":$mx,"n":$n}""" }
       .mkString("[", ",", "]")
-    sampler.stop()
-    deleteRecursively(java.nio.file.Paths.get(work))
-
     f"""{"events":$cdcEvents,"n_cores":$scaleN,""" +
       f""""evps_localN":${evps(scaleN)}%.0f,""" +
       f""""evps_local4N":${evps(scaleN * 4)}%.0f,""" +
@@ -564,6 +576,11 @@ object Bench {
       f"""CPU probes <=1.35x reference — probe-only trigger, """ +
       f"""acceptance-band-blind",""" +
       f""""paired_ratios":$ratioJson}"""
+    } finally {
+      sampler.stop()
+      try deleteRecursively(java.nio.file.Paths.get(work))
+      catch { case _: Throwable => () }
+    }
   }
 }
 
@@ -575,6 +592,17 @@ object Bench {
 object BenchSampler {
   def main(args: Array[String]): Unit = {
     val out = java.nio.file.Paths.get(args(0))
+    // parent-death watchdog: the parent keeps our stdin pipe open for its
+    // lifetime and never writes to it; read() returning (EOF) means the
+    // parent is gone — even if it died without calling stop() (kill -9,
+    // OOM) this child must not outlive it as a detached CPU burner
+    val watchdog = new Thread(() => {
+      try { while (System.in.read() >= 0) () }
+      catch { case _: Throwable => () }
+      Runtime.getRuntime.halt(0)
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
     while (true) {
       val t = System.currentTimeMillis()
       val ms = Bench.hostProbeMs(1)

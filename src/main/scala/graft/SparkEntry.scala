@@ -553,6 +553,17 @@ object SparkEntry {
       DedupOps.dedupPassages(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 8, minDupCount = 2)),
 
+    "decontaminate" -> ((s, d) => {
+      // benchmark decontamination (C4/GPT-3 13-gram rule): eval set = a
+      // deterministic slice of the corpus (every 37th doc — planted
+      // contamination by construction), flag every document sharing a
+      // 13-token n-gram with it; gram containment travels as broadcast
+      // portable-hash values so the DuckDB oracle recomputes bit-exactly
+      val docs = t(s, d, "documents")
+      DedupOps.decontaminate(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 37 === 0), "text", n = 13)
+    }),
+
     "split_assign" -> ((s, d) =>
       // deterministic train/valid/test membership by stable id: a pure
       // codegen projection (no shuffle/state), reproducible across runs,
@@ -569,11 +580,18 @@ object SparkEntry {
         t(s, d, "documents"), col("doc_id"), 10)
         .select(col("doc_id"), col("lang"), col("n_chars"))),
 
-    "multimodal_meta" -> ((s, d) => // no oracle: stubbed decode (see Scaladoc)
-      Multimodal.extractMeta(
-        t(s, d, "documents").select(col("doc_id"),
-          col("text").cast("binary").as("payload")),
-        "doc_id", "payload")),
+    "multimodal_meta" -> ((s, d) => {
+      // the REAL decode path, fully oracled: deterministic P6 PPM
+      // payloads built per doc id, then parsed BACK by the from-scratch
+      // PPM decoder (magic + header + pixel checksum) in mapPartitions
+      // batches — every output field is recomputable arithmetically by
+      // DuckDB from the id, so a decoder bug (dims, header length,
+      // checksum) breaks the hash
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+      Multimodal.decodeMeta(ids.map(id => (id, Multimodal.syntheticPpm(id))))
+        .toDF()
+    }),
 
     "multimodal_bytes" -> ((s, d) =>
       // the DuckDB-checkable projection of the multimodal path: same real
@@ -1017,6 +1035,24 @@ object SparkEntry {
            CAST(strlen(text) AS INTEGER) AS n_bytes
          FROM documents""",
 
+    "multimodal_meta" ->
+      // rederives the synthetic-PPM metadata arithmetically: dims and
+      // pixel value are functions of the id, the header is
+      // 'P6\n<w> <h>\n255\n', checksum = sum of w*h*3 constant pixel bytes
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 31 AS w,
+             1 + doc_id % 13 AS h, doc_id % 256 AS v
+           FROM documents)
+         SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(strlen('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+               CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+             + w * h * 3 AS INTEGER) AS n_bytes,
+           'ppm' AS format,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(w * h * 3 * v AS BIGINT) AS checksum
+         FROM p""",
+
     "sql_merge" ->
       // MERGE semantics re-derived as join dataflow: matched rows take
       // the first firing clause (delete if nb>9000, else update),
@@ -1151,6 +1187,28 @@ object SparkEntry {
                FROM kept GROUP BY doc_id)
          SELECT d.doc_id, coalesce(r.text_kept, '') AS text_kept
          FROM d LEFT JOIN r USING (doc_id)""",
+
+    "decontaminate" ->
+      // same 13-token-gram + portable-hash containment, rederived: grams
+      // via list_slice windows (short docs contribute their full token
+      // sequence, mirroring tokenShingles' greatest(..,1) clamp), hashed
+      // with the md5-prefix portable hash, eval side = doc_id % 37 = 0
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+             FROM documents),
+         dg AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             FROM (SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 12, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
+               FROM d)),
+         eh AS (SELECT DISTINCT h FROM dg WHERE doc_id % 37 = 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits FROM dg
+             WHERE h IN (SELECT h FROM eh) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+             AS INTEGER) AS contaminated
+         FROM d LEFT JOIN hits h USING (doc_id)""",
 
     "split_assign" ->
       """SELECT doc_id, CASE

@@ -47,6 +47,18 @@ object DedupOps {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** Distinct TOKEN n-grams: contiguous `n`-token windows of the
+    * whitespace tokenization, re-joined by a single space. A document
+    * shorter than `n` tokens contributes its full token sequence as one
+    * gram (so short documents still participate in containment checks).
+    */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val ts = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+      i => array_join(slice(ts, i, lit(n)), " ")))
+  }
+
   /** 60-bit ENGINE-PORTABLE hash: the first 15 hex chars of md5, read as a
     * long. Strictly slower than xxhash64 (the default family everywhere),
     * but computable bit-identically in DuckDB —
@@ -354,6 +366,44 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the C4/GPT-3-style 13-gram rule, the
+    * standard "don't train on the test set" step of an LLM data pipeline:
+    * a document is flagged CONTAMINATED when it shares any token n-gram
+    * with the evaluation corpus. Returns one row per input document:
+    * `(idCol, n_hits = distinct eval n-grams it contains, contaminated =
+    * 0/1)` — callers strip with `filter(contaminated = 0)` or keep the
+    * flags for audit.
+    *
+    * Scale shape: the EVAL side is small by definition (a benchmark
+    * suite — thousands of documents, millions of n-grams), so its
+    * distinct gram-hash set is built once and BROADCAST; the corpus side
+    * streams through a semi join + per-doc aggregation and never
+    * shuffles document text — grams travel as 64-bit [[portableHash]]
+    * values (8 bytes each), not strings. One partial/final aggregation
+    * per doc closes it out. Hash containment is exact for the oracle
+    * because BOTH engines compare the same hash values; a cross-gram
+    * hash collision (2^-60) can only over-flag, never under-flag.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
+      hashFn: Column => Column = portableHash): DataFrame = {
+    require(n >= 1, s"bad decontaminate n-gram size: $n")
+    val dg = docs.select(col(idCol).as("__id"),
+      explode(tokenShingles(col(textCol), n)).as("__g"))
+      .select(col("__id"), hashFn(col("__g")).as("__h"))
+    val eg = evalDocs
+      .select(explode(tokenShingles(col(evalTextCol), n)).as("__g"))
+      .select(hashFn(col("__g")).as("__h")).distinct()
+    val hits = dg.join(broadcast(eg), Seq("__h"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(count_distinct(col("__h")).as("n_hits"))
+      .withColumnRenamed("__id", idCol)
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** Cross-document duplicated-passage removal — the CCNet/C4-style
     * "line dedup" step of a webtext training pipeline, generalized to
     * corpora without line structure: each document is segmented into
@@ -364,14 +414,22 @@ object DedupOps {
     * empty text (row count preserved — downstream joins keep working).
     *
     * Scale shape: one exploded-chunk aggregation (shuffle bounded by
-    * corpus tokens / chunkTokens with map-side combine), then the
-    * FREQUENT set — only chunks actually duplicated, a tiny fraction of
-    * the corpus — drives a broadcast LEFT ANTI join, so document text
-    * never shuffles; the rebuild is one per-document aggregation. No
-    * all-pairs step, no driver-side text.
+    * corpus tokens / chunkTokens with map-side combine) builds the
+    * FREQUENT set — only chunks actually duplicated. That set is
+    * SIZE-CHECKED (the [[graft.operators.Dedup.latestPerKeyAdaptive]]
+    * pattern): under `maxBroadcastChunks` it drives a broadcast LEFT
+    * ANTI join, so document text never shuffles again; above it — a
+    * boilerplate-heavy web corpus can duplicate billions of distinct
+    * chunks, and an unconditional `broadcast()` hint would force the
+    * driver to materialize all of them regardless of size (AQE cannot
+    * override an explicit hint) — the anti join runs SHUFFLED on the
+    * chunk key instead (chunk rows are short by construction:
+    * `chunkTokens` tokens each). The rebuild is one per-document
+    * aggregation. No all-pairs step, never unbounded driver-side state.
     */
   def dedupPassages(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 8, minDupCount: Long = 2): DataFrame = {
+      chunkTokens: Int = 8, minDupCount: Long = 2,
+      maxBroadcastChunks: Long = 4000000L): DataFrame = {
     require(chunkTokens >= 1 && minDupCount >= 2,
       s"bad dedupPassages params: $chunkTokens/$minDupCount")
     val toks = split(col(textCol), " ")
@@ -381,11 +439,19 @@ object DedupOps {
         array_join(slice(toks, j * chunkTokens + lit(1), lit(chunkTokens)),
           " ")))
         .as(Seq("pos", "chunk")))
+    // localCheckpoint, not cache: per-statement frames must not pin the
+    // session CacheManager (same rationale as Dedup.latestPerKeyAdaptive);
+    // the count and the join (either branch) both read the materialized
+    // blocks instead of re-running the corpus-wide chunk aggregation
     val frequent = chunks.groupBy(col("chunk"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minDupCount)
       .select(col("chunk"))
-    val kept = chunks.join(broadcast(frequent), Seq("chunk"), "left_anti")
+      .localCheckpoint()
+    val kept =
+      if (frequent.count() <= maxBroadcastChunks)
+        chunks.join(broadcast(frequent), Seq("chunk"), "left_anti")
+      else chunks.join(frequent, Seq("chunk"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),

@@ -83,6 +83,14 @@ object IceLite {
       committedAtMs: Long) {
     def currentSchema: Schema = schemas.find(_.schemaId == currentSchemaId).get
 
+    /** Live data-file count per bucket — the compaction-pressure signal.
+      * Driver-side and metadata-only (no storage listing): ingest commit
+      * results surface its max so a pipeline knows WHEN to schedule
+      * [[graft.operators.Maintenance.compactIfNeeded]].
+      */
+    def filesPerBucket: Map[Int, Int] =
+      files.groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
+
     /** True iff `key` was already committed. Numeric-suffixed keys
       * (`<prefix>.<n>`) are folded into a per-prefix HIGH-WATER MARK
       * instead of being stored individually, so per-commit metadata stays
@@ -270,13 +278,17 @@ object IceLite {
       catalog: Catalog = FileCatalog): Int = {
     var v = catalog.currentVersion(dir)
     while (v >= 1) {
-      // an unloadable older version = expired history (snapshot expiry
-      // deleted its metadata or manifests): treat as end-of-walk, not an
-      // internal error — the documented "expired" message below fires
+      // a MISSING older version file = expired history (snapshot expiry
+      // deletes metadata first, then manifests — so the expired tail
+      // surfaces as missing files): treat as end-of-walk, the documented
+      // "expired" message below fires. Any OTHER IO error (transient read
+      // failure, corrupt metadata) PROPAGATES — swallowing it would mask
+      // corruption as expiry and wrongly report "no snapshot at or before"
+      // even when loadable older snapshots exist.
       val committedAt =
         try { Some(loadVersion(dir, v, catalog).committedAtMs) }
-        catch { case _: java.io.IOException | _: java.io.UncheckedIOException |
-          _: java.nio.file.NoSuchFileException => None }
+        catch { case _: java.nio.file.NoSuchFileException |
+          _: java.io.FileNotFoundException => None }
       committedAt match {
         case Some(ts) if ts <= tsMillis => return v
         case Some(_) => v -= 1

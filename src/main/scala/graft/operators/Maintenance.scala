@@ -72,6 +72,27 @@ object Maintenance {
     crowded.size
   }
 
+  /** Compact ONLY when needed: a metadata-only probe (no Spark job, no
+    * commit, no storage listing) checks for buckets holding more than
+    * `maxFilesPerBucket` live files — when none, returns 0 without
+    * consuming an epoch, so an ingest pipeline can call this after every
+    * commit (gated on [[Merge.CommitResult.maxBucketFiles]]) for pennies.
+    * When crowding exists it runs one targeted [[compact]] under a fresh
+    * NON-NUMERIC epoch key (concurrent auto-compactions must never mask
+    * each other through the epoch high-water mark), rewriting only the
+    * crowded buckets; a merge landing mid-compaction conflicts the
+    * attempt via `baseVersion` and it re-executes. Returns the number of
+    * buckets compacted.
+    */
+  def compactIfNeeded(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Int = 4): Int = {
+    val m = IceLite.load(dir)
+    if (!m.filesPerBucket.values.exists(_ > maxFilesPerBucket)) return 0
+    compact(spark, dir,
+      s"autocompact.${java.util.UUID.randomUUID().toString.substring(0, 13)}",
+      maxFilesPerBucket)
+  }
+
   /** Drop tombstones whose event time is older than `olderThan`.
     * CONTRACT: only safe when `olderThan` is at least the source's maximum
     * event-time disorder behind the newest applied event — a masked late

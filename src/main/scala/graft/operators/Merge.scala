@@ -46,7 +46,11 @@ object Merge {
       eventsIn: Long,
       rowsUpserted: Long,
       rowsDeleted: Long,
-      lineage: Seq[LineageRow])
+      lineage: Seq[LineageRow],
+      // post-commit compaction-pressure signal: the crowdedest bucket's
+      // live file count (metadata-only) — callers gate
+      // Maintenance.compactIfNeeded on it instead of listing storage
+      maxBucketFiles: Int = 0)
 
   case class LineageRow(partition: Int, minOffset: Long, maxOffset: Long,
       rowsApplied: Long)
@@ -75,7 +79,8 @@ object Merge {
     val pre = graft.util.Phase("merge.load") { IceLite.load(tableDir) }
     if (pre.committedEpoch(epochKey)) {
       return CommitResult(epochKey, committed = false, pre.snapshotId,
-        Set.empty, 0L, 0L, 0L, Nil)
+        Set.empty, 0L, 0L, 0L, Nil,
+        pre.filesPerBucket.values.maxOption.getOrElse(0))
     }
     val schema = pre.currentSchema
     val nBuckets = pre.numBuckets
@@ -177,7 +182,8 @@ object Merge {
       }
       return CommitResult(epochKey, committed = post.epochKey == epochKey,
         post.snapshotId, (0 until nBuckets).toSet, eventsIn = -1L,
-        rowsUpserted = -1L, rowsDeleted = -1L, lineage = Nil)
+        rowsUpserted = -1L, rowsDeleted = -1L, lineage = Nil,
+        maxBucketFiles = post.filesPerBucket.values.maxOption.getOrElse(0))
     }
 
     val newRows = deduped.select(valueCols ++ internals: _*).cache()
@@ -239,6 +245,7 @@ object Merge {
       baseVersion = Some(pre.version))
     CommitResult(epochKey, committed = post.epochKey == epochKey,
       post.snapshotId, affected, eventsIn = -1L,
-      rowsUpserted = applied - deletes, rowsDeleted = deletes, lineage)
+      rowsUpserted = applied - deletes, rowsDeleted = deletes, lineage,
+      maxBucketFiles = post.filesPerBucket.values.maxOption.getOrElse(0))
   }
 }

@@ -116,6 +116,18 @@ object SqlMerge {
     case x => Seq(x)
   }
 
+  /** REPEATABLE across two evaluations of the same statement? False for
+    * nondeterministic expressions AND for any subquery — a subquery's plan
+    * can hide a LIMIT, a TABLESAMPLE or an icelite scan (mutable between
+    * the probe and the write) from the outer plan-node traversal, so it
+    * forces the single-evaluation checkpoint path wholesale.
+    */
+  private def repeatableExpr(e: Expression): Boolean = !e.exists {
+    case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+      true
+    case x => !x.deterministic
+  }
+
   private def cc(e: Expression): Column = ColumnBridge.column(e)
 
   /** Execute once against the current table version; throws
@@ -127,23 +139,30 @@ object SqlMerge {
       sys.error("SqlMerge on a non-icelite target"))
     val dir = rel.dir
     val tgtAttrs = merge.targetTable.output.map(_.asInstanceOf[AttributeReference])
-    // WITH SCHEMA EVOLUTION: the resolution rule widened the analyzed
-    // target with the source's new columns; make the TABLE match before
-    // merging — one metadata-only ALTER commit per missing column (the
-    // same interpreter the CDC ALTER path uses: no data rewrite, old rows
-    // null-fill on read). Idempotent across command retries: only columns
-    // still missing are added; a racing ALTER surfaces as a commit
-    // conflict and re-executes.
-    if (merge.withSchemaEvolution) {
-      val existing = IceLite.load(dir).currentSchema.fields.map(_.name).toSet
-      tgtAttrs.filterNot(a => existing.contains(a.name)).foreach { a =>
-        SchemaEvolution.addColumn(dir, a.name, a.dataType,
-          s"sqlmerge-evolve.${java.util.UUID.randomUUID().toString
-            .substring(0, 13)}")
-      }
-    }
     val pre = IceLite.load(dir)
-    schemaGuard(pre, tgtAttrs, dir)
+    // WITH SCHEMA EVOLUTION: the resolution rule widened the analyzed
+    // target with the source's new columns. The TABLE is NOT altered up
+    // front — the new columns ride the merge's OWN commit
+    // (IceLite.commit's newSchema, same metadata shape the ALTER
+    // interpreter produces), Delta-style ATOMIC evolution: a statement
+    // that fails after analysis (cardinality violation, key-uniqueness
+    // abort, exhausted conflict retries) — or that matches nothing and
+    // no-ops — leaves the table schema untouched. The pinned target scan
+    // null-fills the not-yet-existing columns, exactly what a post-ALTER
+    // read of the old files would produce, so the dataflow is unchanged.
+    val existingNames = pre.currentSchema.fields.map(_.name).toSet
+    val evolveAttrs: Seq[AttributeReference] =
+      if (merge.withSchemaEvolution)
+        tgtAttrs.filterNot(a => existingNames.contains(a.name))
+      else Nil
+    schemaGuard(pre, tgtAttrs.filterNot(evolveAttrs.contains), dir)
+    val newSchema: Option[IceLite.Schema] =
+      if (evolveAttrs.isEmpty) None
+      else Some(IceLite.Schema(
+        pre.schemas.map(_.schemaId).max + 1,
+        evolveAttrs.foldLeft(pre.currentSchema.fields)((fs, a) =>
+          fs :+ IceLite.Field(fs.map(_.id).max + 1, a.name, a.dataType,
+            nullable = true))))
     val keyAttr = tgtAttrs.head
     val keyName = keyAttr.name
     val nB = pre.numBuckets
@@ -171,11 +190,17 @@ object SqlMerge {
     // "deterministic" must mean REPEATABLE across two executions (the
     // bucket probe + the join re-scan the source): nondeterministic
     // expressions, unordered LIMIT and TABLESAMPLE can all legally yield
-    // a different row set the second time — any of them disables pruning
+    // a different row set the second time — any of them disables pruning.
+    // An icelite relation inside the SOURCE is equally non-repeatable: a
+    // concurrent commit landing between the two evaluations changes the
+    // row set, and baseVersion conflict detection guards only the TARGET
+    // — so it forces the single-evaluation checkpoint path too
+    // (version-pinning source icelite scans is the sharper future fix).
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
     val srcDeterministic = !merge.sourceTable.exists {
       case _: GlobalLimit | _: LocalLimit | _: Sample => true
-      case p => p.expressions.exists(e => e.exists(!_.deterministic))
+      case lr: LogicalRelation => lr.relation.isInstanceOf[IceLiteRelation]
+      case p => p.expressions.exists(e => !repeatableExpr(e))
     }
     val canPrune = srcKeyExpr.isDefined && nmbs.isEmpty &&
       updatesPreserveKey && insertsUseKey && srcDeterministic
@@ -301,9 +326,9 @@ object SqlMerge {
     // conditions/assignments or a nondeterministic source force the
     // single-evaluation checkpoint path
     val deterministicPlan = srcDeterministic &&
-      merge.mergeCondition.deterministic &&
+      repeatableExpr(merge.mergeCondition) &&
       (matched ++ inserts ++ nmbs).forall(c =>
-        c.cond.forall(_.deterministic) && c.assigns.values.forall(_.deterministic))
+        c.cond.forall(repeatableExpr) && c.assigns.values.forall(repeatableExpr))
 
     if (scanBuckets.isEmpty && deterministicPlan) {
       // ---- UNPRUNED, repeatable statement: two-pass — an aggregate-only
@@ -334,7 +359,7 @@ object SqlMerge {
         else None
       val out = outOf(mergedFrame(pass2Buckets), affected)
       commitRewrite(spark, dir, pre, out, affected, keyName, nB, "sqlmerge",
-        introducesKeys)
+        introducesKeys, newSchema)
     } else {
       // ---- pruned (cheap: only the source keys' buckets) or
       // nondeterministic: ONE materialization feeds the probe AND the
@@ -351,7 +376,7 @@ object SqlMerge {
             s"internal: pruning unsound — affected $affected ⊄ scanned $sbs")
         }
         commitRewrite(spark, dir, pre, outOf(merged, affected), affected,
-          keyName, nB, "sqlmerge", introducesKeys)
+          keyName, nB, "sqlmerge", introducesKeys, newSchema)
       } finally merged.unpersist()
     }
   }
@@ -376,7 +401,14 @@ object SqlMerge {
     val basePlan = PlanBridge.analyzed(base)
     val byName = basePlan.output.map(a => a.name -> a).toMap
     val projectList: Seq[NamedExpression] =
-      tgtAttrs.map(t => Alias(byName(t.name), t.name)(exprId = t.exprId)) ++
+      tgtAttrs.map(t => byName.get(t.name) match {
+        case Some(a) => Alias(a, t.name)(exprId = t.exprId)
+        // WITH SCHEMA EVOLUTION: the column does not exist in the table
+        // yet (it evolves atomically with the statement's commit) — every
+        // stored row null-fills it, exactly as a post-ALTER read would
+        case None => Alias(org.apache.spark.sql.catalyst.expressions
+          .Literal(null, t.dataType), t.name)(exprId = t.exprId)
+      }) ++
         Seq(Alias(byName("_offset"), oOff)(),
           Alias(byName("_partition"), oPart)())
     PlanBridge.ofRows(spark, Project(projectList, basePlan))
@@ -405,7 +437,8 @@ object SqlMerge {
   private def commitRewrite(spark: SparkSession, dir: String,
       pre: IceLite.Metadata, out: DataFrame, affected: Set[Int],
       keyName: String, nB: Int, opName: String,
-      introducesKeys: Boolean = false): Unit = {
+      introducesKeys: Boolean = false,
+      newSchema: Option[IceLite.Schema] = None): Unit = {
     val guarded =
       if (!introducesKeys) out
       else {
@@ -424,20 +457,41 @@ object SqlMerge {
     val tombs0 = IceLite.readInternal(spark, dir, Some(pre.version),
         Some(affected))
       .filter(col("_deleted"))
-    val tombs = (if (introducesKeys)
-        tombs0.join(out.select(col(keyName)), Seq(keyName), "left_anti")
-      else tombs0)
-      .withColumn("_bucket", Salt.bucket(col(keyName), nB))
+    // one cheap existence probe (bucket-pruned scan, pushed `_deleted`
+    // filter) gates BOTH the tombstone union and the re-insert anti-join:
+    // tombstones only ever come from CDC deletes, so most DML statements
+    // touch buckets holding none — and the anti-join is expensive out of
+    // proportion (it re-evaluates the statement's whole merge dataflow a
+    // second time inside the write job to produce `out`'s key column)
+    val haveTombs = graft.util.Phase("dml.tombstone-probe") {
+      tombs0.select(col(keyName)).limit(1).count() > 0L
+    }
+    val withTombs =
+      if (!haveTombs) guarded
+      else {
+        val tombs1 = (if (introducesKeys)
+            tombs0.join(out.select(col(keyName)), Seq(keyName), "left_anti")
+          else tombs0)
+          .withColumn("_bucket", Salt.bucket(col(keyName), nB))
+        // atomic evolution: tombstones were read under the pre-statement
+        // schema — null-fill the statement's new columns, as any
+        // post-evolution read of old files would
+        val tombs = newSchema.fold(tombs1)(s =>
+          s.fields.filterNot(f => tombs1.columns.contains(f.name))
+            .foldLeft(tombs1)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType))))
+        guarded.unionByName(tombs.select(out.columns.map(col): _*))
+      }
     // one file per rewritten bucket (not one per task per bucket): DML
     // statements must not crowd buckets into needing compaction
-    val toWrite = guarded.unionByName(tombs.select(out.columns.map(col): _*))
-      .repartition(col("_bucket"))
+    val toWrite = withTombs.repartition(col("_bucket"))
     val epoch =
       s"$opName.${java.util.UUID.randomUUID().toString.substring(0, 13)}"
     val staged = IceLite.stageFiles(dir, epoch, toWrite, Some("_bucket"),
-      pre.currentSchemaId)
+      newSchema.map(_.schemaId).getOrElse(pre.currentSchemaId))
     IceLite.commit(dir, epoch, opName, newFiles = staged,
-      replacedBuckets = affected, baseVersion = Some(pre.version))
+      replacedBuckets = affected, baseVersion = Some(pre.version),
+      newSchema = newSchema)
   }
 
   private def schemaGuard(pre: IceLite.Metadata,
@@ -519,8 +573,8 @@ object SqlMerge {
     // repeatability bar for the two-evaluation path: the WHERE and (when
     // the key moves) the key assignment must be deterministic — other
     // assignment values are only ever evaluated once, in the write pass
-    val repeatable = cond.deterministic &&
-      (!keyReassigned || assigns.get(0).forall(_.deterministic))
+    val repeatable = repeatableExpr(cond) &&
+      (!keyReassigned || assigns.get(0).forall(repeatableExpr))
     if (scanBuckets.isEmpty && repeatable) {
       // unpruned full-table statement: aggregate-only probe, then the
       // write re-scans ONLY the affected buckets — the table is read
@@ -577,7 +631,7 @@ object SqlMerge {
           col("_partition"), lit(false).as("_deleted"),
           col("__b").as("_bucket")): _*)
 
-    if (scanBuckets.isEmpty && delete.condition.deterministic) {
+    if (scanBuckets.isEmpty && repeatableExpr(delete.condition)) {
       // unpruned full-table statement: aggregate-only probe, then the
       // write re-scans only the affected buckets (no checkpoint spool)
       val affected = affectedOf(markedFrame(None))

@@ -46,6 +46,40 @@ class MaintenanceSpec extends SparkTestBase {
     (ledger, table, cfg)
   }
 
+  test("auto-compaction: repeated small commits raise the per-bucket " +
+      "file-count signal past the threshold; one targeted compactIfNeeded " +
+      "drops it, keeps live state, and the next call is a free no-op") {
+    val (_, table, _) = freshReplay(2000, 6, "autocmp")
+    val before = IceLite.load(table)
+    val rows = IceLite.read(spark, table).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSet
+    val threshold = 2
+    // the commit summary surfaces the signal without storage listing
+    val maxFiles = before.filesPerBucket.values.max
+    assert(maxFiles > threshold,
+      s"fixture must crowd buckets: $maxFiles <= $threshold")
+    val uncrowded = before.filesPerBucket.filter(_._2 <= threshold).keySet
+    val n = Maintenance.compactIfNeeded(spark, table,
+      maxFilesPerBucket = threshold)
+    assert(n == before.filesPerBucket.count(_._2 > threshold),
+      "exactly the crowded buckets compact")
+    val after = IceLite.load(table)
+    assert(after.filesPerBucket.values.max <= threshold)
+    // targeted: uncrowded buckets keep their exact files
+    uncrowded.foreach { b =>
+      assert(after.files.filter(_.bucket == b).map(_.path).toSet ==
+        before.files.filter(_.bucket == b).map(_.path).toSet)
+    }
+    // live state unchanged
+    assert(IceLite.read(spark, table).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSet == rows)
+    // below-threshold table: metadata probe only, no commit, no epoch
+    val v1 = IceLite.load(table).version
+    assert(Maintenance.compactIfNeeded(spark, table,
+      maxFilesPerBucket = threshold) == 0)
+    assert(IceLite.load(table).version == v1)
+  }
+
   test("compaction merges small files without changing live state") {
     val (_, table, _) = freshReplay(2000, 4, "cmp")
     val before = IceLite.load(table)

@@ -313,6 +313,55 @@ class SqlMergeSpec extends SparkTestBase {
       Seq("url", "v", "tag", "note"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION is ATOMIC: a statement that fails " +
+      "(key-uniqueness abort) or matches nothing leaves the table schema " +
+      "and version untouched — the evolution rides the merge's own commit") {
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "x", false)))
+    val v0 = IceLite.load(dir).version
+    // duplicate source keys would mint two live rows for url z: the
+    // statement aborts during the write — the 'extra' column must NOT
+    // survive as a leaked half-applied ALTER (Delta-style atomicity)
+    Seq(("z", 1L, "E1"), ("z", 2L, "E2")).toDF("u", "nv", "extra")
+      .createOrReplaceTempView("src_evo_fail")
+    val e = intercept[Exception] {
+      spark.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo_fail s
+        ON tg.url = s.u
+        WHEN NOT MATCHED THEN
+          INSERT (url, v, extra) VALUES (s.u, s.nv, s.extra)
+      """)
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("uniqueness")), msgs(e).mkString("|"))
+    assert(IceLite.load(dir).version == v0, "failed MERGE must not commit")
+    assert(IceLite.load(dir).currentSchema.fields.map(_.name) ==
+      Seq("url", "v", "tag"), "failed statement must not evolve the schema")
+    // a matching-nothing evolving statement no-ops without a schema commit
+    Seq(("a", 9L, "E")).toDF("u", "nv", "extra")
+      .createOrReplaceTempView("src_evo_noop")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo_noop s
+      ON tg.url = s.u
+      WHEN MATCHED AND s.nv < 0 THEN UPDATE SET tg.extra = s.extra
+    """)
+    assert(IceLite.load(dir).version == v0 &&
+      IceLite.load(dir).currentSchema.fields.map(_.name) ==
+        Seq("url", "v", "tag"))
+    // and the successful form still evolves + applies in ONE version bump
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_evo_noop s
+      ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv, tg.extra = s.extra
+    """)
+    val after = IceLite.load(dir)
+    assert(after.version == v0 + 1, "evolution + merge = one atomic commit")
+    assert(after.currentSchema.fields.map(_.name) ==
+      Seq("url", "v", "tag", "extra"))
+    val a = IceLite.read(spark, dir).filter(col("url") === "a").head
+    assert(a.getLong(1) == 9L && a.getString(3) == "E")
+  }
+
   test("key uniqueness: UPDATE reassigning a key onto an existing live " +
       "key fails before commit; MERGE inserting duplicate source keys " +
       "fails too") {

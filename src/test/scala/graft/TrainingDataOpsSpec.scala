@@ -331,4 +331,114 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(r.getLong(6) == again.getLong(6) && r.getInt(3) == again.getInt(3))
     assert(meta.filter(col("width") < 64).count() == 0)
   }
+
+  test("tokenizer-true BPE counting: golden vectors against the shipped " +
+      "merge table; codegen column form matches the driver-side encoder") {
+    import graft.functions.{Bpe, BpeCountExpression}
+    // hand-traceable goldens (ranks from graft/bpe-merges.txt):
+    // the: t+h(r0) -> [th,e] -> th+e -> 1 token
+    assert(Bpe.encodeCount("the") == 1)
+    // that: t+h -> [th,a,t] -> a+t -> [th,at] -> th+at -> 1
+    assert(Bpe.encodeCount("that") == 1)
+    // into: i+n -> [in,t,o] -> t+o -> [in,to] -> in+to -> 1
+    assert(Bpe.encodeCount("into") == 1)
+    // unmergeable letters stay characters
+    assert(Bpe.encodeCount("xq") == 2 && Bpe.encodeCount("qqq") == 3)
+    assert(Bpe.encodeCount("a") == 1 && Bpe.encodeCount("") == 0)
+    // pretokenization: letter runs / digit runs / single symbols
+    assert(Bpe.countTokens("the cat!") == 1 + 2 + 1) // cat: c+a -> [ca,t]
+    assert(Bpe.countTokens("") == 0 && Bpe.countTokens("   ") == 0)
+    assert(Bpe.countTokens("don't") == 2 + 1 + 1) // don -> [d,on]; ' ; t
+    // the codegen expression computes the same counts as the driver-side
+    // encoder over a real document sample (differential, catches a
+    // broken static-call path silently falling back)
+    val sample = docs.toDF("doc_id", "text", "lang").limit(40)
+    val viaExpr = sample.select(col("doc_id"),
+      BpeCountExpression.token_count_bpe(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaDriver = sample.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Bpe.countTokens(r.getString(1))).toMap
+    assert(viaExpr == viaDriver && viaExpr.nonEmpty)
+    // vs the oracled whitespace/punct proxy (6 words): the true count is
+    // higher because sub-word splits survive — the,on fully merge (1
+    // each) while cat/sat/mat each stay 2 subwords
+    assert(Bpe.countTokens("the cat sat on the mat") == 9)
+  }
+
+  test("real multimodal decode: golden-vector PPM (comments in header) " +
+      "and hand-built BMP parse to exact dims/checksums; garbage with a " +
+      "magic prefix falls back to the stub instead of failing") {
+    // P6, 2x2, maxval 255, with a header comment; pixels 1..12
+    val ppm = ("P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      (1 to 12).map(_.toByte))
+    val m = Multimodal.decodePpm(7L, ppm).get
+    assert(m.format == "ppm" && m.width == 2 && m.height == 2 &&
+      m.n_frames == 1 && m.n_bytes == ppm.length)
+    assert(m.checksum == (1 to 12).sum)
+    // hand-built minimal BMP: 54-byte headers + 4 pixel bytes of value 9
+    val bmp = new Array[Byte](58)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe(o: Int, v: Int): Unit = (0 until 4).foreach(k =>
+      bmp(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+    putLe(2, 58); putLe(10, 54); putLe(14, 40)
+    putLe(18, 2); putLe(22, -1) // width 2, top-down height 1
+    (54 until 58).foreach(bmp(_) = 9.toByte)
+    val b = Multimodal.decodeBmp(8L, bmp).get
+    assert(b.format == "bmp" && b.width == 2 && b.height == 1 &&
+      b.checksum == 4L * 9)
+    // magic prefix + garbage: stub, not a crash (and not a bogus parse)
+    val junk = "P6 not really an image".getBytes("US-ASCII")
+    assert(Multimodal.decode(9L, junk).format != "ppm")
+    // synthetic fixture round-trips through the real parser
+    val sp = Multimodal.decode(77L, Multimodal.syntheticPpm(77L))
+    assert(sp.format == "ppm" && sp.width == (1 + 77 % 31) &&
+      sp.height == (1 + 77 % 13) &&
+      sp.checksum == sp.width.toLong * sp.height * 3 * (77 % 256))
+  }
+
+  test("passage dedup broadcast bound: the size-checked broadcast branch " +
+      "and the shuffled fallback produce identical output") {
+    val lineDocs = Seq(
+      (10L, "u1 a dup x u2 b"),
+      (11L, "dup x u3 c"),
+      (12L, "dup x"),
+      (13L, "only unique words here ok")
+    ).toDF("doc_id", "text")
+    def run(maxBroadcast: Long) =
+      DedupOps.dedupPassages(lineDocs, "doc_id", "text", chunkTokens = 2,
+        minDupCount = 2, maxBroadcastChunks = maxBroadcast)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaBroadcast = run(4000000L) // frequent set fits: broadcast branch
+    val viaShuffle = run(0L)         // forced over-threshold: shuffled anti
+    assert(viaBroadcast == viaShuffle, s"$viaBroadcast vs $viaShuffle")
+    assert(viaBroadcast(10L) == "u1 a u2 b" && viaBroadcast(12L) == "")
+  }
+
+  test("decontamination: documents sharing an n-gram with the eval set " +
+      "are flagged, clean documents are not, short docs use the " +
+      "full-sequence gram") {
+    // 13-token contaminated passage planted verbatim inside doc 2 (with
+    // clean text around it) and nowhere else; doc 3 shares 12 tokens but
+    // not 13 in a row; doc 4 is fully clean; doc 5 is a SHORT (<13-token)
+    // eval question copied verbatim
+    val evalPassage = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val shortEval = "what is the capital of atlantis"
+    val evalSet = Seq((900L, evalPassage), (901L, shortEval))
+      .toDF("eid", "etext")
+    val corpus = Seq(
+      (1L, doc(501, 40)),                             // clean
+      (2L, doc(502, 10) + " " + evalPassage + " " + doc(503, 10)), // planted
+      (3L, (1 to 12).map(i => s"ev$i").mkString(" ") + " other"),  // 12 only
+      (4L, doc(504, 40)),                             // clean
+      (5L, shortEval)                                 // short verbatim copy
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(corpus, "doc_id", "text",
+      evalSet, "etext", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(2L)._2 == 1 && out(2L)._1 >= 1L, out.toString)
+    assert(out(5L) == ((1L, 1)), out.toString) // full-sequence gram hits
+    assert(out(1L)._2 == 0 && out(3L)._2 == 0 && out(4L)._2 == 0,
+      out.toString)
+    assert(out.size == 5, "row count preserved")
+  }
 }
