@@ -143,6 +143,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("P7: decontaminate == naive n-gram containment on random corpora " +
+      "(short-doc clamp, distinct-gram counting, row preservation)") {
+    val corpusGen: Gen[(List[String], Int)] = for {
+      nDocs <- Gen.choose(4, 12)
+      vocab <- Gen.choose(2, 5) // tiny vocab forces shared n-grams
+      n <- Gen.oneOf(2, 3)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    } yield (docs, n)
+    forAllSampled(corpusGen, n = 6) { case (docs, n) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val eval = df.filter(col("doc_id") % 3 === 0).select(col("text"))
+      val got = graft.functions.DedupOps
+        .decontaminate(df, "doc_id", "text", eval, "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // naive reference, driver-side: same tokenization + clamp rule
+      def grams(t: String): Set[String] = {
+        val ts = t.split(" ", -1).toSeq
+        val m = math.max(ts.length - (n - 1), 1)
+        (1 to m).map(i => ts.slice(i - 1, i - 1 + n).mkString(" ")).toSet
+      }
+      val evalGrams = docs.zipWithIndex.collect {
+        case (t, i) if i % 3 == 0 => grams(t)
+      }.flatten.toSet
+      val want = docs.zipWithIndex.map { case (t, i) =>
+        val hits = grams(t).count(evalGrams.contains)
+        (i.toLong, hits.toLong, if (hits > 0) 1 else 0)
+      }.toSet
+      assert(got == want, s"n=$n docs=$docs")
+    }
+  }
+
   test("P5: extract_text is total and idempotent-ish on arbitrary bytes") {
     forAllSampled(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
         .flatMap(b => Gen.alphaNumStr.map((b, _))), n = 12) { case (bytes, s) =>

@@ -362,6 +362,21 @@ class SqlMergeSpec extends SparkTestBase {
     assert(a.getLong(1) == 9L && a.getString(3) == "E")
   }
 
+  test("MERGE with an icelite table as SOURCE: correct result via the " +
+      "single-evaluation checkpoint path (a mutable source must never be " +
+      "scanned twice — probe and write would see different rows)") {
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "x", false), ("b", 2L, "x", false)))
+    val (src, _) = mkTable(4, Seq(("a", 10L, "s", false), ("c", 30L, "s", false)))
+    spark.sql(s"""
+      MERGE INTO $t tg
+      USING (SELECT url AS u, v AS nv FROM $src) s ON tg.url = s.u
+      WHEN MATCHED THEN UPDATE SET tg.v = s.nv
+      WHEN NOT MATCHED THEN INSERT (url, v, tag) VALUES (s.u, s.nv, 'ins')
+    """)
+    assert(state(dir) === Map("a" -> (10L, "x"), "b" -> (2L, "x"),
+      "c" -> (30L, "ins")))
+  }
+
   test("key uniqueness: UPDATE reassigning a key onto an existing live " +
       "key fails before commit; MERGE inserting duplicate source keys " +
       "fails too") {
