@@ -53,10 +53,14 @@ object Demo {
     if (IceLite.exists(dlq)) {
       println(s"=== dlq: ${IceLite.read(spark, dlq).count()} malformed events")
     }
-    val compacted = graft.operators.Maintenance.compact(
-      spark, table, "demo-compact", maxFilesPerBucket = 2)
-    println(s"=== maintenance: compacted $compacted bucket(s); " +
-      s"files now ${IceLite.load(table).files.size}")
+    // the auto-compaction surface: metadata-only crowding probe, compacts
+    // only when some bucket exceeds the threshold (a pipeline calls this
+    // after every commit, gated on CommitResult.maxBucketFiles)
+    val crowd = IceLite.load(table).filesPerBucket.values.maxOption.getOrElse(0)
+    val compacted = graft.operators.Maintenance.compactIfNeeded(
+      spark, table, maxFilesPerBucket = 2)
+    println(s"=== maintenance: max files/bucket $crowd -> compacted " +
+      s"$compacted bucket(s); files now ${IceLite.load(table).files.size}")
     // SparkSessionExtensions path: extract_text injected by GraftExtensions
     val sqlText = spark.sql(
       "SELECT extract_text(CAST('<b>ext &amp; ok</b>' AS BINARY)) AS t")
