@@ -561,7 +561,8 @@ object SparkEntry {
       // portable-hash values so the DuckDB oracle recomputes bit-exactly
       val docs = t(s, d, "documents")
       DedupOps.decontaminate(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 37 === 0), "text", n = 13)
+        docs.filter(col("doc_id") % 37 === 0), "text", n = 13,
+        hashFn = DedupOps.portableHash)
     }),
 
     "split_assign" -> ((s, d) =>

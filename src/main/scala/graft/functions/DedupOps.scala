@@ -378,15 +378,17 @@ object DedupOps {
     * suite — thousands of documents, millions of n-grams), so its
     * distinct gram-hash set is built once and BROADCAST; the corpus side
     * streams through a semi join + per-doc aggregation and never
-    * shuffles document text — grams travel as 64-bit [[portableHash]]
-    * values (8 bytes each), not strings. One partial/final aggregation
-    * per doc closes it out. Hash containment is exact for the oracle
-    * because BOTH engines compare the same hash values; a cross-gram
-    * hash collision (2^-60) can only over-flag, never under-flag.
+    * shuffles document text — grams travel as 64-bit hash values
+    * (8 bytes each), not strings. One partial/final aggregation
+    * per doc closes it out. A cross-gram hash collision (≤ 2^-60) can
+    * only over-flag, never under-flag. Hash family: xxhash64 by default
+    * (codegen'd — the production choice); the oracled driver key passes
+    * [[portableHash]] instead so DuckDB compares the SAME hash values
+    * bit-exactly.
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
-      hashFn: Column => Column = portableHash): DataFrame = {
+      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(n >= 1, s"bad decontaminate n-gram size: $n")
     val dg = docs.select(col(idCol).as("__id"),
       explode(tokenShingles(col(textCol), n)).as("__g"))
