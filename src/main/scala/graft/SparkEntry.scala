@@ -1192,17 +1192,27 @@ object SparkEntry {
     "decontaminate" ->
       // same 13-token-gram + portable-hash containment, rederived: grams
       // via list_slice windows (short docs contribute their full token
-      // sequence, mirroring tokenShingles' greatest(..,1) clamp), hashed
-      // with the md5-prefix portable hash, eval side = doc_id % 37 = 0
+      // sequence, mirroring tokenShingles' greatest(..,1) clamp; corpus
+      // docs also emit m-token windows for each distinct short-eval
+      // length — the lens CTE, mirroring decontaminate's evalLens),
+      // hashed with the md5-prefix portable hash, eval = doc_id % 37 = 0
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
              FROM documents),
+         lens AS (SELECT DISTINCT len(t) AS m FROM d
+             WHERE doc_id % 37 = 0 AND len(t) >= 1 AND len(t) < 13),
+         ng AS (SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(t) - 12, 1) + 1),
+                 i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
+             FROM d),
+         mg AS (SELECT doc_id,
+                 array_to_string(list_slice(t, u.i, u.i + m - 1), ' ') AS g
+             FROM d JOIN lens ON len(t) >= m,
+                  unnest(range(1, len(t) - m + 2)) u(i)),
          dg AS (SELECT DISTINCT doc_id,
                ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
-             FROM (SELECT doc_id, unnest(list_transform(
-                   range(1, greatest(len(t) - 12, 1) + 1),
-                   i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
-               FROM d)),
-         eh AS (SELECT DISTINCT h FROM dg WHERE doc_id % 37 = 0),
+             FROM (SELECT * FROM ng UNION ALL SELECT * FROM mg)),
+         eh AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             FROM ng WHERE doc_id % 37 = 0),
          hits AS (SELECT doc_id, count(*) AS n_hits FROM dg
              WHERE h IN (SELECT h FROM eh) GROUP BY doc_id)
          SELECT d.doc_id,

@@ -369,7 +369,11 @@ object DedupOps {
   /** Benchmark DECONTAMINATION — the C4/GPT-3-style 13-gram rule, the
     * standard "don't train on the test set" step of an LLM data pipeline:
     * a document is flagged CONTAMINATED when it shares any token n-gram
-    * with the evaluation corpus. Returns one row per input document:
+    * with the evaluation corpus — where an eval document SHORTER than n
+    * tokens contributes its full token sequence as its gram, and corpus
+    * documents additionally emit windows of those short lengths so a
+    * short eval example embedded verbatim in a long document still
+    * flags. Returns one row per input document:
     * `(idCol, n_hits = distinct eval n-grams it contains, contaminated =
     * 0/1)` — callers strip with `filter(contaminated = 0)` or keep the
     * flags for audit.
@@ -386,12 +390,37 @@ object DedupOps {
     * [[portableHash]] instead so DuckDB compares the SAME hash values
     * bit-exactly.
     */
+  /** All m-token windows of `text` (empty when the doc has fewer than m
+    * tokens — those docs participate via their own clamp gram instead).
+    */
+  private def windowGrams(text: Column, m: Int): Column = {
+    val ts = split(text, " ")
+    when(size(ts) >= m,
+      array_distinct(transform(
+        sequence(lit(1), size(ts) - (m - 1)),
+        i => array_join(slice(ts, i, lit(m)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
       hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(n >= 1, s"bad decontaminate n-gram size: $n")
+    // A SHORT eval document (< n tokens) has exactly ONE gram — its full
+    // token sequence (the tokenShingles clamp). A long corpus document
+    // contains it only as an m-token WINDOW, which the n-gram family
+    // never emits — so the corpus side ALSO emits m-grams for each
+    // distinct short-eval length (the short-QA-prompt case the 13-gram
+    // rule exists for). The collect is driver-side but bounded by n−1
+    // distinct ints, read off the small-by-contract eval side.
+    val evalLens: Seq[Int] = evalDocs
+      .select(size(split(col(evalTextCol), " ")).as("m"))
+      .filter(col("m") >= 1 && col("m") < n)
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val gramFamilies = tokenShingles(col(textCol), n) +:
+      evalLens.map(m => windowGrams(col(textCol), m))
     val dg = docs.select(col(idCol).as("__id"),
-      explode(tokenShingles(col(textCol), n)).as("__g"))
+      explode(flatten(array(gramFamilies: _*))).as("__g"))
       .select(col("__id"), hashFn(col("__g")).as("__h"))
     val eg = evalDocs
       .select(explode(tokenShingles(col(evalTextCol), n)).as("__g"))

@@ -70,7 +70,10 @@ object Multimodal {
       if (any) v else -1
     }
     val w = int(); val h = int(); val maxval = int()
-    i += 1 // the single whitespace byte after maxval
+    // exactly one whitespace byte after maxval (netpbm spec) — anything
+    // else means a malformed header, which must NOT parse as a P6
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
         w.toLong * h * 3 != bytes.length - i) return None
     var sum = 0L

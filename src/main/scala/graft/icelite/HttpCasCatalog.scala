@@ -25,11 +25,15 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   *  - Only METADATA versions go through the catalog. Data files and
   *    manifests are immutable and uniquely named per attempt, so plain
   *    PUTs suffice wherever they live (a lost race only orphans them).
-  *  - `currentVersion` needs no LIST permission: it gallops (doubling
+  *  - `currentVersion` makes no LIST API call: it gallops (doubling
   *    steps) from the last version this instance saw, then binary-
   *    searches the exists/missing boundary — O(log N) HEADs from a cold
   *    start, O(1) warm, relying only on versions being DENSE at the top
   *    (snapshot expiry removes old versions, never recent ones).
+  *    Caveat: probing needs a true 404 for missing keys — on S3 that
+  *    still requires the `s3:ListBucket` *permission* (without it S3
+  *    answers 403 for missing keys, which this class treats as a hard
+  *    error rather than guessing); GCS/MinIO 404 regardless.
   */
 class HttpCasCatalog(endpoint: String,
     headers: () => Map[String, String] = () => Map.empty,
@@ -74,7 +78,12 @@ class HttpCasCatalog(endpoint: String,
         try client.send(req(hintUri(dir))
             .PUT(HttpRequest.BodyPublishers.ofString(v.toString)).build(),
           HttpResponse.BodyHandlers.discarding())
-        catch { case _: java.io.IOException | _: InterruptedException => () }
+        catch {
+          case _: java.io.IOException => ()
+          // best-effort, but a swallowed interrupt would drop a task
+          // kill — restore the flag and carry on
+          case _: InterruptedException => Thread.currentThread().interrupt()
+        }
         true
       // 412 Precondition Failed (S3/MinIO), 409 Conflict (GCS): the
       // object exists — a concurrent committer won the CAS
@@ -117,22 +126,47 @@ class HttpCasCatalog(endpoint: String,
       val resp = client.send(req(hintUri(dir)).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 == 2) resp.body().trim.toIntOption else None
-    } catch { case _: java.io.IOException | _: InterruptedException => None }
+    } catch {
+      case _: java.io.IOException => None
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); None
+    }
+
+  /** How far PAST a stale hint the recovery probe walks before giving
+    * up. Hints are written on every publish, so real lag is tiny; the
+    * bound only exists so a lost-hint pathological table fails loudly
+    * instead of HEAD-probing forever.
+    */
+  private val maxHintLag = 256
 
   override def currentVersion(dir: String): Int = {
     // start from a version known to have existed: warm in-memory hint,
     // else the stored hint object, else 1
-    var lo = math.max(1,
-      Option(seen.get(dir)).map(_.intValue())
-        .orElse(storedHint(dir)).getOrElse(1))
+    val hinted = Option(seen.get(dir)).map(_.intValue())
+      .orElse(storedHint(dir))
+    var lo = math.max(1, hinted.getOrElse(1))
     if (!versionExists(dir, lo)) {
-      if (lo == 1) return 1 // empty table: by convention, like FileCatalog
-      lo = 1
-      if (!versionExists(dir, lo)) {
-        // neither the hinted version nor v1 exists: hint raced an expiry
-        // or pointed past a crash — fall back to the newest version the
-        // in-memory hint remembers (1 for a fresh instance)
-        return math.max(1, Option(seen.get(dir)).map(_.intValue()).getOrElse(1))
+      // the hinted version is gone: expiry removed it while the hint
+      // lagged (out-of-order best-effort hint PUTs), or this is an
+      // empty table. Recover by probing FORWARD — the Catalog contract
+      // is "probe forward, never trust a stale pointer": live versions
+      // can only be AHEAD of a stale hint (hints are written after
+      // their version exists and expiry removes only the oldest).
+      (lo + 1 to lo + maxHintLag).find(versionExists(dir, _)) match {
+        case Some(v) => lo = v
+        case None if lo != 1 && versionExists(dir, 1) => lo = 1
+        case None if hinted.isEmpty =>
+          return 1 // never-created table: by convention, like FileCatalog
+        case None =>
+          // a hint exists, so the table WAS created, but nothing is
+          // loadable near it — fail loudly instead of returning a
+          // version known to be missing (which would read as an
+          // irrecoverably broken/empty table)
+          seen.remove(dir)
+          throw new java.io.IOException(
+            s"catalog: hint for $dir points at v${hinted.get} but no " +
+              s"live version exists within $maxHintLag above it — " +
+              "hint object lost or lagging; restore it or re-commit")
       }
     }
     // gallop: exists(lo) holds; find the first missing version above —
@@ -148,7 +182,12 @@ class HttpCasCatalog(endpoint: String,
     lo
   }
 
+  // the hint object is only ever written AFTER a successful version
+  // publish, so its mere presence proves the table was created — this
+  // keeps `exists` true after snapshot expiry removes v1 (a false
+  // negative here would let a create-if-absent flow publish a fresh v1
+  // and shadow the live table)
   override def exists(dir: String): Boolean = versionExists(dir, 1) ||
     Option(seen.get(dir)).exists(v => versionExists(dir, v.intValue())) ||
-    storedHint(dir).exists(v => versionExists(dir, v))
+    storedHint(dir).isDefined
 }

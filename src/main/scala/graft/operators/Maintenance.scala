@@ -57,8 +57,7 @@ object Maintenance {
       maxFilesPerBucket: Int = 4): Int = retryOnConflict() {
     val m = IceLite.load(dir)
     if (m.committedEpoch(epochKey)) return 0
-    val crowded = m.files.groupBy(_.bucket).filter(_._2.size > maxFilesPerBucket)
-      .keySet
+    val crowded = m.filesPerBucket.filter(_._2 > maxFilesPerBucket).keySet
     if (crowded.isEmpty) return 0
     val rows = IceLite.readInternal(spark, dir, buckets = Some(crowded))
       .withColumn("_bucket",
@@ -85,13 +84,13 @@ object Maintenance {
     * buckets compacted.
     */
   def compactIfNeeded(spark: SparkSession, dir: String,
-      maxFilesPerBucket: Int = 4): Int = {
-    val m = IceLite.load(dir)
-    if (!m.filesPerBucket.values.exists(_ > maxFilesPerBucket)) return 0
+      maxFilesPerBucket: Int = 4): Int =
+    // compact() itself is the probe: it loads metadata once and returns 0
+    // before any Spark job or commit when nothing is crowded, so the
+    // freshly-minted epoch key is only ever consumed by real work
     compact(spark, dir,
       s"autocompact.${java.util.UUID.randomUUID().toString.substring(0, 13)}",
       maxFilesPerBucket)
-  }
 
   /** Drop tombstones whose event time is older than `olderThan`.
     * CONTRACT: only safe when `olderThan` is at least the source's maximum

@@ -50,8 +50,19 @@ object SchemaEvolution {
     case _ => false
   }
 
-  /** Compute the evolved schema; pure, for reuse in tests. */
-  def evolve(cur: Schema, alterJson: String, newSchemaId: Int): Schema = {
+  /** Compute the evolved schema; pure, for reuse in tests.
+    *
+    * `usedFieldIds`: every field id EVER minted in the table (all
+    * schemas, not just the current one). Field ids are the identity the
+    * read path reconciles old files by, so an id must never be reused —
+    * minting `max(current)+1` after a dropColumn would hand the dropped
+    * column's id to a NEW column, and every pre-drop data file would
+    * silently resurface the dropped column's stored values under the new
+    * name. Callers pass the all-schemas id set; the default (current
+    * schema only) is safe only for tables that never dropped a column.
+    */
+  def evolve(cur: Schema, alterJson: String, newSchemaId: Int,
+      usedFieldIds: Set[Int] = Set.empty): Schema = {
     val o = JsonMethods.parse(alterJson).asInstanceOf[JObject].obj.toMap
     def s(v: JValue): String = v.asInstanceOf[JString].s
     val fields: Seq[Field] = o.head match {
@@ -59,7 +70,7 @@ object SchemaEvolution {
         val m = body.obj.toMap
         val name = s(m("name"))
         require(!cur.fields.exists(_.name == name), s"column exists: $name")
-        val nextId = cur.fields.map(_.id).max + 1
+        val nextId = (usedFieldIds ++ cur.fields.map(_.id)).max + 1
         cur.fields :+ Field(nextId, name, parseType(s(m("type"))), nullable = true)
       case ("renameColumn", body: JObject) =>
         val m = body.obj.toMap
@@ -110,7 +121,8 @@ object SchemaEvolution {
     val m = IceLite.load(tableDir)
     if (m.committedEpoch(epochKey)) return
     val next = evolve(m.currentSchema, alterJson,
-      m.schemas.map(_.schemaId).max + 1)
+      m.schemas.map(_.schemaId).max + 1,
+      usedFieldIds = m.schemas.flatMap(_.fields.map(_.id)).toSet)
     IceLite.commit(tableDir, epochKey, "alter", newSchema = Some(next))
   }
 }

@@ -156,13 +156,19 @@ object SqlMerge {
         tgtAttrs.filterNot(a => existingNames.contains(a.name))
       else Nil
     schemaGuard(pre, tgtAttrs.filterNot(evolveAttrs.contains), dir)
+    // new field ids are minted above every id EVER used (all schemas,
+    // not just current): after a dropColumn, max(current)+1 would REUSE
+    // the dropped id and the by-field-id read reconciliation would
+    // resurrect the dropped column's stored values into the new column
+    val usedIds = pre.schemas.flatMap(_.fields.map(_.id)).toSet
     val newSchema: Option[IceLite.Schema] =
       if (evolveAttrs.isEmpty) None
       else Some(IceLite.Schema(
         pre.schemas.map(_.schemaId).max + 1,
-        evolveAttrs.foldLeft(pre.currentSchema.fields)((fs, a) =>
-          fs :+ IceLite.Field(fs.map(_.id).max + 1, a.name, a.dataType,
-            nullable = true))))
+        evolveAttrs.zipWithIndex.foldLeft(pre.currentSchema.fields) {
+          case (fs, (a, k)) => fs :+ IceLite.Field(usedIds.max + 1 + k,
+            a.name, a.dataType, nullable = true)
+        }))
     val keyAttr = tgtAttrs.head
     val keyName = keyAttr.name
     val nB = pre.numBuckets

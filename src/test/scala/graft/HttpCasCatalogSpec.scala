@@ -109,6 +109,16 @@ class HttpCasCatalogSpec extends SparkTestBase {
       val afterExpiry = new HttpCasCatalog(endpoint)
       assert(afterExpiry.currentVersion(dir) == 22) // incl. the e-hint commit
       assert(afterExpiry.exists(dir))
+      // STALE hint pointing at an expired version (out-of-order
+      // best-effort hint PUTs): recovery probes FORWARD, never returns a
+      // version known to be missing
+      val hintK = objects.keySet().stream().filter(k =>
+        java.net.URLDecoder.decode(k, "UTF-8").endsWith("/version-hint.text"))
+        .toArray
+      hintK.foreach(k => objects.put(k.toString, "3".getBytes)) // v3 expired
+      val staleHint = new HttpCasCatalog(endpoint)
+      assert(staleHint.currentVersion(dir) == 22)
+      assert(staleHint.exists(dir))
       // replayed epoch: committed-epoch check happens before any publish
       val v = IceLite.commit(dir, "e-20", "test", catalog = cat).version
       assert(v == 22, "replayed epoch must no-op")

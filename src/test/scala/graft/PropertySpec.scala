@@ -160,17 +160,26 @@ class PropertySpec extends SparkTestBase {
       val got = graft.functions.DedupOps
         .decontaminate(df, "doc_id", "text", eval, "text", n)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      // naive reference, driver-side: same tokenization + clamp rule
-      def grams(t: String): Set[String] = {
+      // naive reference, driver-side: same tokenization, clamp rule, and
+      // short-eval m-gram window families
+      def windowsAt(ts: Seq[String], m: Int): Set[String] =
+        if (ts.length < m) Set.empty
+        else (0 to ts.length - m).map(i => ts.slice(i, i + m).mkString(" "))
+          .toSet
+      def clampGrams(t: String): Set[String] = {
         val ts = t.split(" ", -1).toSeq
-        val m = math.max(ts.length - (n - 1), 1)
-        (1 to m).map(i => ts.slice(i - 1, i - 1 + n).mkString(" ")).toSet
+        if (ts.length < n) Set(ts.mkString(" ")) else windowsAt(ts, n)
       }
-      val evalGrams = docs.zipWithIndex.collect {
-        case (t, i) if i % 3 == 0 => grams(t)
-      }.flatten.toSet
+      val evalDocsL = docs.zipWithIndex.collect {
+        case (t, i) if i % 3 == 0 => t
+      }
+      val evalGrams = evalDocsL.flatMap(clampGrams).toSet
+      val lens = evalDocsL.map(_.split(" ", -1).length)
+        .filter(m => m >= 1 && m < n).distinct
       val want = docs.zipWithIndex.map { case (t, i) =>
-        val hits = grams(t).count(evalGrams.contains)
+        val ts = t.split(" ", -1).toSeq
+        val grams = clampGrams(t) ++ lens.flatMap(m => windowsAt(ts, m))
+        val hits = grams.count(evalGrams.contains)
         (i.toLong, hits.toLong, if (hits > 0) 1 else 0)
       }.toSet
       assert(got == want, s"n=$n docs=$docs")

@@ -362,6 +362,40 @@ class SqlMergeSpec extends SparkTestBase {
     assert(a.getLong(1) == 9L && a.getString(3) == "E")
   }
 
+  test("field ids are never reused after dropColumn: neither the ALTER " +
+      "interpreter nor MERGE WITH SCHEMA EVOLUTION may resurrect a " +
+      "dropped column's stored values into a new column") {
+    import graft.operators.SchemaEvolution
+    val (t, dir) = mkTable(4, Seq(("a", 1L, "ghost", false)))
+    val tagId = IceLite.load(dir).currentSchema.fields
+      .find(_.name == "tag").get.id
+    SchemaEvolution(dir, """{"dropColumn":{"name":"tag"}}""", "drop-tag")
+    // ALTER-interpreter path: the new column must mint a FRESH id — the
+    // old files store "ghost" under tagId, and a reused id would
+    // reconcile it straight into 'extra'
+    SchemaEvolution.addColumn(dir, "extra", StringType, "add-extra")
+    val m = IceLite.load(dir)
+    assert(m.currentSchema.fields.find(_.name == "extra").get.id != tagId)
+    val r = IceLite.read(spark, dir).select(col("url"), col("extra")).head
+    assert(r.isNullAt(1), "pre-drop rows must null-fill, not resurrect tag")
+    // MERGE WITH SCHEMA EVOLUTION path mints above ALL schemas' ids too
+    spark.sql(s"REFRESH TABLE $t")
+    Seq(("b", 2L, "N")).toDF("u", "nv", "note")
+      .createOrReplaceTempView("src_ghost")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $t tg USING src_ghost s
+      ON tg.url = s.u
+      WHEN NOT MATCHED THEN INSERT (url, v, note) VALUES (s.u, s.nv, s.note)
+    """)
+    val m2 = IceLite.load(dir)
+    assert(m2.currentSchema.fields.find(_.name == "note").get.id != tagId)
+    val rows = IceLite.read(spark, dir).select(col("url"), col("note"))
+      .collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(rows("a") == null && rows("b") == "N", rows.toString)
+  }
+
   test("MERGE with an icelite table as SOURCE: correct result via the " +
       "single-evaluation checkpoint path (a mutable source must never be " +
       "scanned twice — probe and write would see different rows)") {

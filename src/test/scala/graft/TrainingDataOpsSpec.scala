@@ -389,6 +389,10 @@ class TrainingDataOpsSpec extends SparkTestBase {
     // magic prefix + garbage: stub, not a crash (and not a bogus parse)
     val junk = "P6 not really an image".getBytes("US-ASCII")
     assert(Multimodal.decode(9L, junk).format != "ppm")
+    // malformed separator after maxval (non-whitespace): not a P6
+    val badSep = ("P6\n2 2\n255X".getBytes("US-ASCII") ++
+      (1 to 12).map(_.toByte))
+    assert(Multimodal.decodePpm(10L, badSep).isEmpty)
     // synthetic fixture round-trips through the real parser
     val sp = Multimodal.decode(77L, Multimodal.syntheticPpm(77L))
     assert(sp.format == "ppm" && sp.width == (1 + 77 % 31) &&
@@ -430,15 +434,19 @@ class TrainingDataOpsSpec extends SparkTestBase {
       (2L, doc(502, 10) + " " + evalPassage + " " + doc(503, 10)), // planted
       (3L, (1 to 12).map(i => s"ev$i").mkString(" ") + " other"),  // 12 only
       (4L, doc(504, 40)),                             // clean
-      (5L, shortEval)                                 // short verbatim copy
+      (5L, shortEval),                                // short verbatim copy
+      // the short-QA case the m-gram families exist for: a LONG document
+      // embedding a SHORT (<n-token) eval example verbatim
+      (6L, doc(505, 10) + " " + shortEval + " " + doc(506, 8))
     ).toDF("doc_id", "text")
     val out = DedupOps.decontaminate(corpus, "doc_id", "text",
       evalSet, "etext", n = 13)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(out(2L)._2 == 1 && out(2L)._1 >= 1L, out.toString)
     assert(out(5L) == ((1L, 1)), out.toString) // full-sequence gram hits
+    assert(out(6L) == ((1L, 1)), out.toString) // embedded short eval hits
     assert(out(1L)._2 == 0 && out(3L)._2 == 0 && out(4L)._2 == 0,
       out.toString)
-    assert(out.size == 5, "row count preserved")
+    assert(out.size == 6, "row count preserved")
   }
 }
