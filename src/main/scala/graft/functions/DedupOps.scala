@@ -390,17 +390,27 @@ object DedupOps {
     * [[portableHash]] instead so DuckDB compares the SAME hash values
     * bit-exactly.
     */
-  /** All m-token windows of `text` (empty when the doc has fewer than m
-    * tokens — those docs participate via their own clamp gram instead).
+  /** All m-token windows over an ALREADY-MATERIALIZED token-array column
+    * (empty when the doc has fewer than m tokens — those docs
+    * participate via their own clamp gram instead). The caller must bind
+    * `ts` to a concrete attribute (e.g. a Generate output), NOT a
+    * projected `split(...)` alias: CollapseProject inlines a projected
+    * array into every lambda reference, re-running the whole split PER
+    * WINDOW — the CLAUDE.md HOF trap, measured 2× on this operator.
     */
-  private def windowGrams(text: Column, m: Int): Column = {
-    val ts = split(text, " ")
+  private def windowGrams(ts: Column, m: Int): Column =
     when(size(ts) >= m,
       array_distinct(transform(
         sequence(lit(1), size(ts) - (m - 1)),
         i => array_join(slice(ts, i, lit(m)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[tokenShingles]] over a materialized token-array column (same
+    * clamp rule: docs shorter than n contribute their full sequence).
+    */
+  private def shinglesFromToks(ts: Column, n: Int): Column =
+    when(size(ts) >= n, windowGrams(ts, n))
+      .otherwise(array(array_join(ts, " ")))
 
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
@@ -417,9 +427,15 @@ object DedupOps {
       .select(size(split(col(evalTextCol), " ")).as("m"))
       .filter(col("m") >= 1 && col("m") < n)
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val gramFamilies = tokenShingles(col(textCol), n) +:
-      evalLens.map(m => windowGrams(col(textCol), m))
-    val dg = docs.select(col(idCol).as("__id"),
+    // the token array rides through an explode(array(...)) Generate so
+    // it is a CONCRETE per-row attribute below — a plain projected alias
+    // would be CollapseProject-inlined into every window lambda and the
+    // split would re-run per window (see windowGrams' contract)
+    val tokenized = docs.select(col(idCol).as("__id"),
+      explode(array(split(col(textCol), " "))).as("__toks"))
+    val gramFamilies = shinglesFromToks(col("__toks"), n) +:
+      evalLens.map(m => windowGrams(col("__toks"), m))
+    val dg = tokenized.select(col("__id"),
       explode(flatten(array(gramFamilies: _*))).as("__g"))
       .select(col("__id"), hashFn(col("__g")).as("__h"))
     val eg = evalDocs
