@@ -159,14 +159,6 @@ object Bench {
     // otherwise squeezes host RAM into reclaim stalls mid-measurement
     System.gc()
 
-    val cdc =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CDC")) "{}" // ad-hoc query timing
-      else try { cdcScaling(work, ledger, warmLedger, warmCfg, cdcEvents) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] cdc phase failed: ${e.getMessage}")
-        s"""{"events":$cdcEvents,"error":${jsonStr(e.toString.take(200))}}"""
-      }
-
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None) => "\"" + k + "\":null"
@@ -174,17 +166,36 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc":$cdc}"""
+    def lineWith(cdcJson: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cdc":$cdcJson}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def writeOut(line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+
+    val cdc =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CDC")) "{}" // ad-hoc query timing
+      else try {
+        // CRASH/TIMEOUT EVIDENCE: the out-file is refreshed with a
+        // `"partial":true` snapshot after every completed rep, so a run
+        // killed mid-phase (driver timeout, host failure) still leaves
+        // the queries + completed scaling reps on disk instead of nothing
+        cdcScaling(work, ledger, warmLedger, warmCfg, cdcEvents,
+          onPartial = cdcJson => writeOut(lineWith(cdcJson)))
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cdc phase failed: ${e.getMessage}")
+        s"""{"events":$cdcEvents,"error":${jsonStr(e.toString.take(200))}}"""
+      }
+
+    val line = lineWith(cdc)
     println(line)
     // belt-and-braces: the stdout channel was lost to sbt log prefixes in
     // round 1; persist the same line to a file the driver (or a human) can
     // always recover
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    writeOut(line)
   }
 
   /** JDK17 module opens Spark needs outside spark-submit — mirror of
@@ -385,7 +396,8 @@ object Bench {
   }
 
   private def cdcScaling(work: String, ledger: String, warmLedger: String,
-      warmCfg: Ledger.Config, cdcEvents: Long): String = {
+      warmCfg: Ledger.Config, cdcEvents: Long,
+      onPartial: String => Unit = _ => ()): String = {
 
     // N vs 4N parallelism. Default N=2: this VM's own 8→32-process scaling
     // tops out near 3× even for embarrassingly parallel pure-CPU loops
@@ -486,6 +498,7 @@ object Bench {
         f"evps@${scaleN * 4}=${pair(scaleN * 4)}%.0f " +
         f"ratio=${pair(scaleN * 4) / (4.0 * pair(scaleN))}%.3f")
       pairs += pair
+      onPartial(renderJson(partial = true))
     }
     // efficiency: MEDIAN of per-rep PAIRED ratios — the two levels of one
     // rep run adjacent in time, so host-wide slowdowns hit both and cancel.
@@ -533,6 +546,11 @@ object Bench {
         pairs.length < maxReps) {
       runPair(pairs.length + 1)
     }
+    // JSON snapshot of the scaling state so far; `partial` marks the
+    // rep-by-rep out-file refresh (see onPartial in main): a run killed
+    // mid-phase (driver timeout, host failure) leaves the queries and
+    // every completed rep on disk instead of nothing
+    def renderJson(partial: Boolean): String = {
     // throughput headline: best observed per level (least-disturbed run)
     val evps = Map(
       scaleN -> pairs.map(_(scaleN)).max,
@@ -550,6 +568,7 @@ object Bench {
       .map { case (med, mx, n) => s"""{"med":$med,"max":$mx,"n":$n}""" }
       .mkString("[", ",", "]")
     f"""{"events":$cdcEvents,"n_cores":$scaleN,""" +
+      (if (partial) """"partial":true,""" else "") +
       f""""evps_localN":${evps(scaleN)}%.0f,""" +
       f""""evps_local4N":${evps(scaleN * 4)}%.0f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
@@ -576,6 +595,8 @@ object Bench {
       f"""CPU probes <=1.35x reference — probe-only trigger, """ +
       f"""acceptance-band-blind",""" +
       f""""paired_ratios":$ratioJson}"""
+    }
+    renderJson(partial = false)
     } finally {
       sampler.stop()
       try deleteRecursively(java.nio.file.Paths.get(work))
