@@ -414,7 +414,8 @@ object DedupOps {
 
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       evalDocs: DataFrame, evalTextCol: String, n: Int = 13,
-      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+      hashFn: Column => Column = c => xxhash64(c),
+      maxBroadcastGrams: Long = 8000000L): DataFrame = {
     require(n >= 1, s"bad decontaminate n-gram size: $n")
     // A SHORT eval document (< n tokens) has exactly ONE gram — its full
     // token sequence (the tokenShingles clamp). A long corpus document
@@ -438,10 +439,17 @@ object DedupOps {
     val dg = tokenized.select(col("__id"),
       explode(flatten(array(gramFamilies: _*))).as("__g"))
       .select(col("__id"), hashFn(col("__g")).as("__h"))
+    // eval gram-hash set: small by contract (a benchmark suite), but the
+    // broadcast is still SIZE-CHECKED (the latestPerKeyAdaptive pattern —
+    // an explicit broadcast hint is unconditional, and a caller passing a
+    // corpus-sized "eval set" must degrade to a shuffled semi join, not
+    // OOM the driver). 8 B/gram: the default bound is ~64 MB broadcast.
     val eg = evalDocs
       .select(explode(tokenShingles(col(evalTextCol), n)).as("__g"))
       .select(hashFn(col("__g")).as("__h")).distinct()
-    val hits = dg.join(broadcast(eg), Seq("__h"), "left_semi")
+      .localCheckpoint()
+    val egSized = if (eg.count() <= maxBroadcastGrams) broadcast(eg) else eg
+    val hits = dg.join(egSized, Seq("__h"), "left_semi")
       .groupBy(col("__id"))
       .agg(count_distinct(col("__h")).as("n_hits"))
       .withColumnRenamed("__id", idCol)

@@ -122,6 +122,12 @@ class HttpCasCatalogSpec extends SparkTestBase {
       // replayed epoch: committed-epoch check happens before any publish
       val v = IceLite.commit(dir, "e-20", "test", catalog = cat).version
       assert(v == 22, "replayed epoch must no-op")
+      // a hint pointing FAR past anything live (lost versions, corrupt
+      // hint): fail loudly, never return a version known to be missing
+      hintK.foreach(k => objects.put(k.toString, "9000".getBytes))
+      val broken = new HttpCasCatalog(endpoint)
+      val e = intercept[java.io.IOException] { broken.currentVersion(dir) }
+      assert(e.getMessage.contains("hint"), e.getMessage)
     }
   }
 }

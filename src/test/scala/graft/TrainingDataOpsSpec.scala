@@ -448,5 +448,11 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(out(1L)._2 == 0 && out(3L)._2 == 0 && out(4L)._2 == 0,
       out.toString)
     assert(out.size == 6, "row count preserved")
+    // the size-checked eval broadcast: forcing the shuffled fallback
+    // must not change a single flag (latestPerKeyAdaptive pattern)
+    val shuffled = DedupOps.decontaminate(corpus, "doc_id", "text",
+      evalSet, "etext", n = 13, maxBroadcastGrams = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(shuffled == out, s"$shuffled vs $out")
   }
 }
