@@ -103,12 +103,18 @@ object DedupOps {
     // prefix of the canonical ordering; struct sort = (hash, token) order
     val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1))
       .cast("int")
+    // prefix rows materialized ONCE: bounded by (1−t)·|toks| per doc
+    // (~10% of corpus tokens at t=0.9, short fixed-width rows — a §8
+    // decision table). The candidate self-join's two sides otherwise
+    // each redo the tokenize + per-doc struct sort (before-plan: the
+    // scan→sort→explode subtree appears on both sides).
     val pe = toks.select(col("id"), col("lang"), col("sz"),
       explode(slice(
         array_sort(transform(col("toks"),
           t => struct(xxhash64(t).as("h"), t.as("tok")))),
         lit(1), prefLen)).as("p"))
       .select(col("id"), col("lang"), col("sz"), col("p.tok").as("ptok"))
+      .localCheckpoint()
     val cand = pe
       .select(col("lang"), col("ptok"), col("id").as("a_id"),
         col("sz").as("a_sz"))
@@ -124,8 +130,15 @@ object DedupOps {
       col("sz").as("a_sz"))
     val bt = toks.select(col("id").as("b_id"), col("toks").as("b_toks"),
       col("sz").as("b_sz"))
+    // the intersect size rides an explode(array(…)) Generate barrier: the
+    // threshold filter otherwise gets pushed into the verify join's
+    // condition and array_intersect — the dominant per-candidate cost —
+    // is evaluated THREE times per pair (twice in the join condition,
+    // once in the output projection; verified in the round-6 before-plan)
     cand.join(at, Seq("a_id")).join(bt, Seq("b_id"))
-      .withColumn("isect", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .select(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"),
+        explode(array(
+          size(array_intersect(col("a_toks"), col("b_toks"))))).as("isect"))
       .withColumn("jaccard", round(col("isect").cast("double") /
         (col("a_sz") + col("b_sz") - col("isect")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -168,9 +181,16 @@ object DedupOps {
     * slower end-to-end. k INDEPENDENT salted hashes are both faster and
     * more selective; at 10^10 docs selectivity matters even more.
     */
-  private def candidatesFromSigs(sigs: DataFrame, bands: Int,
+  private def candidatesFromSigs(sigs0: DataFrame, bands: Int,
       rowsPerBand: Int, minEstimate: Double): DataFrame = {
     val k = bands * rowsPerBand
+    // Materialize the signature table ONCE (guide §8's fingerprint table:
+    // fixed k×8 bytes per doc, never the text). Without it, the two sides
+    // of the band self-join each recompute every signature — k hashes per
+    // token per document — because a broadcast join side cannot reuse the
+    // other side's subtree (verified in the round-6 before-plan: the full
+    // scan→sign subtree appears twice). Halves the dominant hashing cost.
+    val sigs = sigs0.localCheckpoint()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("|",
@@ -181,15 +201,26 @@ object DedupOps {
       col("id").as("a_id"), col("sig").as("a_sig"))
     val r = banded.select(col("band"), col("band_hash"),
       col("id").as("b_id"), col("sig").as("b_sig"))
+    // matching-position count as an UNROLLED codegen sum (bit-identical
+    // to size(filter(zip_with(a, b, =), m => m)) — counts exactly the
+    // positions where both sides are non-null and equal), routed through
+    // an explode(array(…)) Generate barrier so the estimate filter and
+    // the output projection share ONE evaluation (the before-plan showed
+    // the interpreted zip_with duplicated into the Filter condition and
+    // the Project)
+    val matchCount = (1 to k).map(i =>
+      when(element_at(col("a_sig"), i) === element_at(col("b_sig"), i),
+        lit(1)).otherwise(lit(0))).reduce(_ + _)
     l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          m => m)).cast("double") / lit(k.toDouble))
-      .filter(col("est_jaccard") >= minEstimate)
-      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .select(col("a_id"), col("b_id"),
+        explode(array(matchCount)).as("__m"))
+      .filter(col("__m").cast("double") / lit(k.toDouble) >= minEstimate)
+      .select(col("a_id"), col("b_id"),
+        round(col("__m").cast("double") / lit(k.toDouble), 4)
+          .as("est_jaccard"))
   }
 
   /** 64-bit SimHash over a token-set column, as a two-stage projection:
@@ -227,10 +258,16 @@ object DedupOps {
       langCol: String, maxDistance: Int,
       hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64)
+    // (id, lang, sh) materialized ONCE — 8 bytes of fingerprint per doc
+    // (guide §8). The banded self-join's two sides otherwise each
+    // recompute the full vote fold (one hash + 64 votes per token per
+    // document; the round-6 before-plan showed the whole scan→simhash
+    // subtree duplicated per broadcast-join side).
     val sh = withSimhash(
       docs.select(col(idCol).as("id"), col(langCol).as("lang"),
         tokenSet(col(textCol)).as("toks")),
       col("toks"), "sh", hashFn).select("id", "lang", "sh")
+      .localCheckpoint()
     val nChunks = maxDistance + 1
     val chunks = (0 until nChunks).map { i =>
       val start = i * 64 / nChunks
@@ -269,17 +306,23 @@ object DedupOps {
       threshold: Double, exactLimit: Long = 1000L,
       nPlanes: Int = 8, nTables: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // Materialize (id, v, norm) ONCE (guide §8's fixed-width decision
+    // table): every downstream use — the a/b sides of either branch and
+    // the LSH banding — otherwise re-derives the float→double cast and
+    // the norm fold from the parquet scan (the round-6 before-plan showed
+    // the full subtree duplicated per join side). The count that picks
+    // the branch reads the same materialized blocks instead of a second
+    // parquet pass.
     val base = emb.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .localCheckpoint()
     val a = base.select(col("id").as("a_id"), col("v").as("a_v"),
       col("nrm").as("a_n"))
     val b = base.select(col("id").as("b_id"), col("v").as("b_v"),
       col("nrm").as("b_n"))
-    // parquet-footer-cheap count decides the plan; at scale the LSH branch
-    // is taken and no quadratic join ever appears
     val paired =
-      if (emb.count() <= exactLimit) {
+      if (base.count() <= exactLimit) {
         a.join(b, col("a_id") < col("b_id"))
       } else {
         val buckets = (0 until nTables).map { t =>
@@ -287,8 +330,12 @@ object DedupOps {
           struct(lit(t).as("t"),
             Similarity.lshBucket(col("v"), planes).as("h")).as(s"b$t")
         }
+        // bucket ids materialized once too: the candidate self-join's two
+        // sides would each re-evaluate all nTables×nPlanes hyperplane
+        // dots per row (interpreted array folds — the dominant LSH cost)
         val banded = base.select(col("id"),
           explode(array(buckets: _*)).as("bucket"))
+          .localCheckpoint()
         val cand = banded.select(col("bucket"), col("id").as("a_id"))
           .join(banded.select(col("bucket"), col("id").as("b_id")),
             Seq("bucket"))
@@ -297,9 +344,13 @@ object DedupOps {
           .dropDuplicates("a_id", "b_id")
         cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
       }
+    // unrolled fixed-dim dot: bit-identical to Similarity.dot (same
+    // left-fold order) but codegen'd — the interpreted per-pair fold was
+    // the top per-pair cost in both branches
     paired
       .withColumn("cos", round(
-        Similarity.dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 4))
+        Similarity.dotN(col("a_v"), col("b_v"), dim) /
+          (col("a_n") * col("b_n")), 4))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
@@ -331,11 +382,28 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // Both edge orientations from ONE pass over the pair set: the
+    // union-of-two-selects form evaluated the whole upstream pair
+    // pipeline once per branch (for dedup_groups that is the full
+    // Jaccard candidate+verify dataflow, recomputed — measured as the
+    // larger half of the query). No distinct either: min-label
+    // propagation is duplicate-insensitive (every aggregation below is a
+    // min) and this codebase's pair producers emit distinct (a < b)
+    // pairs by construction — the distinct was a pure extra shuffle.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("x"), col(bCol).as("y")),
+        struct(col(bCol).as("x"), col(aCol).as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .localCheckpoint()
+    // Seed with round 1's result directly: from identity labels, one
+    // propagate+jump round yields exactly min(id, min(neighbors)) — a
+    // single aggregation over the edge list, no join. Saves the first
+    // (and at small diameters, dominant) join round; the loop below then
+    // proceeds identically, so the fixpoint is unchanged.
+    var labels = edges.groupBy(col("x"))
+      .agg(min(col("y")).as("__mn"))
+      .select(col("x").as("id"), least(col("x"), col("__mn")).as("lbl"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -436,17 +504,31 @@ object DedupOps {
       explode(array(split(col(textCol), " "))).as("__toks"))
     val gramFamilies = shinglesFromToks(col("__toks"), n) +:
       evalLens.map(m => windowGrams(col("__toks"), m))
+    // hash INSIDE the Generate (transform before explode): with a
+    // projected hashFn(__g) alias, the optimizer collapses the projection
+    // into the semi join's key AND its auto-inserted isnotnull filter —
+    // the portable hash (md5 + base conversion on the oracled key) ran
+    // TWICE per corpus gram (verified in the round-6 before-plan)
     val dg = tokenized.select(col("__id"),
-      explode(flatten(array(gramFamilies: _*))).as("__g"))
-      .select(col("__id"), hashFn(col("__g")).as("__h"))
+      explode(transform(flatten(array(gramFamilies: _*)),
+        g => hashFn(g))).as("__h"))
     // eval gram-hash set: small by contract (a benchmark suite), but the
     // broadcast is still SIZE-CHECKED (the latestPerKeyAdaptive pattern —
     // an explicit broadcast hint is unconditional, and a caller passing a
     // corpus-sized "eval set" must degrade to a shuffled semi join, not
     // OOM the driver). 8 B/gram: the default bound is ~64 MB broadcast.
-    val eg = evalDocs
-      .select(explode(tokenShingles(col(evalTextCol), n)).as("__g"))
-      .select(hashFn(col("__g")).as("__h")).distinct()
+    // eval side routed through the SAME Generate materialization as the
+    // corpus side (ADVICE r5): tokenShingles embeds split() inside the
+    // window lambda, so tokenization re-ran per window — the HOF-inlining
+    // trap, bounded only by the eval set being small. shinglesFromToks
+    // over the concrete token-array attribute emits identical grams
+    // (same clamp rule), tokenizing once per eval doc; the hash rides
+    // the explode so it is evaluated once per gram.
+    val evalTokenized = evalDocs.select(
+      explode(array(split(col(evalTextCol), " "))).as("__etoks"))
+    val eg = evalTokenized
+      .select(explode(transform(shinglesFromToks(col("__etoks"), n),
+        g => hashFn(g))).as("__h")).distinct()
       .localCheckpoint()
     val egSized = if (eg.count() <= maxBroadcastGrams) broadcast(eg) else eg
     val hits = dg.join(egSized, Seq("__h"), "left_semi")

@@ -26,6 +26,23 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** [[dot]] UNROLLED over a known fixed dimension — bit-identical values
+    * (the flat sum keeps `dot`'s exact left-fold order
+    * (((0 + a₁b₁) + a₂b₂) + …), so every intermediate double matches),
+    * but expressed as codegen-able scalar arithmetic instead of an
+    * interpreted `aggregate`/`zip_with` lambda pair. Array higher-order
+    * functions are interpreted per element (no codegen, no CSE); on the
+    * PAIR-SCORING path this expression runs once per candidate pair, and
+    * the interpreted form was the dominant per-pair cost. Callers must
+    * know the dimension (the embeddings contract fixes 64); keep the
+    * generic [[dot]] for per-row work where the tree-size cost of
+    * unrolling outweighs the win (hyperplane buckets, norms of arbitrary
+    * callers).
+    */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
+      .foldLeft(lit(0.0))(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -35,10 +52,17 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
+    // norms once per ROW (they were re-derived per PAIR inside cosine —
+    // two extra interpreted array folds per candidate), and the per-pair
+    // dot unrolled: same IEEE ops in the same order, so cos is
+    // bit-identical to cosine(q_v, v)
     val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val q = base.filter(queryPred).select(col("id").as("q_id"), col("v").as("q_v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = base.filter(queryPred).select(col("id").as("q_id"),
+      col("v").as("q_v"), col("nrm").as("q_n"))
     val scored = base.join(q, col("id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_v"), col("v")))
+      .withColumn("cos",
+        dotN(col("q_v"), col("v"), 64) / (col("q_n") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,15 +101,29 @@ object Similarity {
       val planes = hyperplanes(seed + 7919L * t, nPlanes, dim)
       struct(lit(t).as("t"), lshBucket(col("v"), planes).as("h")).as(s"b$t")
     }
-    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", explode(array(buckets: _*)))
+    // Materialize (id, v, norm, bucket array) ONCE: the corpus and query
+    // sides of the candidate join otherwise each recompute the cast and
+    // all nTables×nPlanes hyperplane dots — a broadcast join side cannot
+    // reuse the other side's work (verified in the round-6 before-plan:
+    // two full scan→project subtrees). The checkpointed row is the §8
+    // "decision" proxy (fixed width, no text); norms computed here so the
+    // per-pair cosine never re-derives them.
+    val pre = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bs", array(buckets: _*))
+      .localCheckpoint()
+    val base = pre.select(col("id"), col("v"), col("nrm"),
+      explode(col("bs")).as("bucket"))
     val q = base.filter(queryPred)
-      .select(col("id").as("q_id"), col("v").as("q_v"), col("bucket"))
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_n"),
+        col("bucket"))
     val scored = base.join(q, Seq("bucket"))
       .filter(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"), col("q_v"), col("v"))
+      .select(col("q_id"), col("id"), col("q_v"), col("v"), col("q_n"),
+        col("nrm"))
       .dropDuplicates("q_id", "id") // a pair may collide in several tables
-      .withColumn("cos", cosine(col("q_v"), col("v")))
+      .withColumn("cos",
+        dotN(col("q_v"), col("v"), dim) / (col("q_n") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
