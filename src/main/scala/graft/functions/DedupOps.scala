@@ -166,8 +166,30 @@ object DedupOps {
       bands: Int, rowsPerBand: Int, minEstimate: Double,
       hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(tokenSet(col(textCol)), k, hashFn).as("sig"))
+    // Signature via explode + k codegen'd min-aggregations instead of the
+    // [[minhashSignature]] nested-transform fold: array higher-order
+    // functions are INTERPRETED per element, so the k·|toks| hash
+    // evaluations paid ~10x expression-walk overhead per hash (the
+    // dominant cost of both minhash keys). Exploding the token set and
+    // computing the k salted hashes as plain projected columns keeps
+    // every hash inside WholeStageCodegen; the groupBy is partial/final
+    // with map-side combine, so the shuffle carries ONE k-long row per
+    // (doc × map task) — never the tokens. Values are bit-identical:
+    // min-agg over exploded distinct tokens of hash('i:' ++ tok) is
+    // exactly array_min(transform(toks, t => hash(concat(i, ':', t)))),
+    // and concat(lit("i:"), t) builds the same string the
+    // cast(i)·':'·t concat did. (A null/absent text yields no exploded
+    // rows and no signature — such docs never produced an output pair
+    // under the fold form either: their null estimate failed the
+    // threshold filter.)
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(tokenSet(col(textCol))).as("__t"))
+    val mins = (0 until k).map(i =>
+      min(hashFn(concat(lit(s"$i:"), col("__t")))).as(s"__m$i"))
+    val sigs = tokens.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
     candidatesFromSigs(sigs, bands, rowsPerBand, minEstimate)
   }
 
@@ -258,15 +280,33 @@ object DedupOps {
       langCol: String, maxDistance: Int,
       hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64)
-    // (id, lang, sh) materialized ONCE — 8 bytes of fingerprint per doc
-    // (guide §8). The banded self-join's two sides otherwise each
-    // recompute the full vote fold (one hash + 64 votes per token per
-    // document; the round-6 before-plan showed the whole scan→simhash
-    // subtree duplicated per broadcast-join side).
-    val sh = withSimhash(
-      docs.select(col(idCol).as("id"), col(langCol).as("lang"),
-        tokenSet(col(textCol)).as("toks")),
-      col("toks"), "sh", hashFn).select("id", "lang", "sh")
+    // SimHash via explode + 64 codegen'd sum-aggregations instead of the
+    // [[withSimhash]] interpreted per-token fold (~128 interpreted
+    // element-ops per token): the token hash is projected ONCE per
+    // exploded token, the ±1 votes are plain sum aggregates inside
+    // WholeStageCodegen with map-side combine, and the shuffle carries
+    // one 64-long vote row per (doc × map task) — never the tokens.
+    // Values are bit-identical to the fold for every non-null text (the
+    // same ±1 per bit per token, summed; the same vote→bit fold); the
+    // frame is then materialized ONCE (8-byte fingerprint per doc, guide
+    // §8) because the banded self-join's two sides cannot share a
+    // broadcast subtree. [[withSimhash]] remains the columnar form for
+    // callers that need a projection.
+    // the hash rides INSIDE the Generate (hash array exploded, not the
+    // tokens): a projected hashFn(__t) alias would be CollapseProject-
+    // inlined into all 64 vote aggregates — 64 hash evaluations per token
+    // (measured 2.6x slower on the md5 family before this barrier)
+    val tokens = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      explode(transform(tokenSet(col(textCol)), t => hashFn(t))).as("__h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"__v$i"))
+    val sh = tokens.groupBy(col("id"), col("lang"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), col("lang"),
+        (0 until 64).map(i =>
+          when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
       .localCheckpoint()
     val nChunks = maxDistance + 1
     val chunks = (0 until nChunks).map { i =>
