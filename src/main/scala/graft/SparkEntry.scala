@@ -519,8 +519,14 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_guess"))),
+      // tokens through a Generate barrier: the four marker counts would
+      // otherwise each inline their own split — 4 tokenizations per row
+      // (values identical; the DuckDB oracle tokenizes independently)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array(split(lower(col("text")), " "))).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("__toks")).as("lang_guess"))),
 
     "quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -540,9 +546,21 @@ object SparkEntry {
 
     "rep_ratio" -> ((s, d) =>
       // Gopher/RefinedWeb-style repetition signal: duplicate-bigram
-      // fraction per document (0 = no repeats) — codegen projection
-      t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))),
+      // fraction per document (0 = no repeats). Tokens AND grams each
+      // ride a Generate barrier: interpreted array expressions get no
+      // CSE, so the projected gram array was re-built once per reference
+      // (3x in the ratio) and the split once per gram-expr reference.
+      // Same values as TextAnalysis.repetitionRatio(text).
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array(split(col("text"), " "))).as("__toks"))
+        .select(col("doc_id"), size(col("__toks")).as("__n"),
+          explode(array(TextAnalysis.bigramsFromToks(col("__toks"))))
+            .as("__g"))
+        .select(col("doc_id"),
+          when(col("__n") < 2, lit(0.0))
+            .otherwise(TextAnalysis.repetitionRatioFromGrams(col("__g")))
+            .as("rep_ratio"))),
 
     "dedup_passages" -> ((s, d) =>
       // CCNet/C4-style cross-document duplicated-passage removal (the

@@ -609,9 +609,15 @@ object DedupOps {
       maxBroadcastChunks: Long = 4000000L): DataFrame = {
     require(chunkTokens >= 1 && minDupCount >= 2,
       s"bad dedupPassages params: $chunkTokens/$minDupCount")
-    val toks = split(col(textCol), " ")
+    // token array through a Generate barrier first: `slice(toks, …)`
+    // inside the chunk lambda would be CollapseProject-inlined, re-running
+    // the whole split ONCE PER CHUNK (the HOF-inlining trap — O(chunks ×
+    // tokens) tokenization per document, measured ~2x on this operator)
+    val tokenized = df.select(col(idCol),
+      explode(array(split(col(textCol), " "))).as("__toks"))
+    val toks = col("__toks")
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = df.select(col(idCol),
+    val chunks = tokenized.select(col(idCol),
       posexplode(transform(sequence(lit(0), nChunks - 1), j =>
         array_join(slice(toks, j * chunkTokens + lit(1), lit(chunkTokens)),
           " ")))

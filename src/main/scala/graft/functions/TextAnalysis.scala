@@ -40,8 +40,15 @@ object TextAnalysis {
     * precedence en > de > fr > es on ties; "und" = undetermined when no
     * marker hits at all). Deterministic, oracle-expressible.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** [[langId]] over an ALREADY-MATERIALIZED lowercased token-array
+    * column. Callers on a hot path should bind `toks` to a concrete
+    * attribute (explode(array(split(…))) Generate): with a plain
+    * projected alias, each of the four marker counts inlines its own
+    * copy of the split — four tokenizations per row.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val en = markerHits(toks, langMarkers("en"))
     val de = markerHits(toks, langMarkers("de"))
     val fr = markerHits(toks, langMarkers("fr"))
@@ -89,22 +96,37 @@ object TextAnalysis {
     */
   def repetitionRatio(text: Column): Column = {
     val toks = split(text, " ")
+    val grams = bigramsFromToks(toks)
     val n = size(toks)
-    // Bigrams = the array zipped with its shifted self. NOT the
-    // `transform(sequence, i => element_at(toks, i)...)` form:
-    // CollapseProject inlines `toks` into every lambda reference, so
-    // element_at re-evaluates the whole split PER ELEMENT — O(tokens²)
-    // work per document (measured 6.8 s over sf0.1 documents vs well
-    // under a second for this form, the CLAUDE.md HOF trap). zip_with
-    // references `toks` a constant number of times per row. zip_with
-    // pads the shorter side with null (last gram = bare final token);
-    // the outer slice drops it.
-    val grams = slice(
+    when(n < 2, lit(0.0))
+      .otherwise(repetitionRatioFromGrams(grams))
+  }
+
+  /** Token-bigram array. Bigrams = the array zipped with its shifted
+    * self. NOT the `transform(sequence, i => element_at(toks, i)...)`
+    * form: CollapseProject inlines `toks` into every lambda reference, so
+    * element_at re-evaluates the whole split PER ELEMENT — O(tokens²)
+    * work per document (measured 6.8 s over sf0.1 documents vs well
+    * under a second for this form, the CLAUDE.md HOF trap). zip_with
+    * references `toks` a constant number of times per row. zip_with
+    * pads the shorter side with null (last gram = bare final token);
+    * the outer slice drops it.
+    */
+  def bigramsFromToks(toks: Column): Column = {
+    val n = size(toks)
+    slice(
       zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(1))),
         (a, b) => concat_ws(" ", a, b)),
       lit(1), greatest(n - 1, lit(1)))
-    when(n < 2, lit(0.0))
-      .otherwise((size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams).cast("double"))
   }
+
+  /** Duplicate-bigram fraction of an ALREADY-MATERIALIZED gram array.
+    * Hot paths should bind `grams` to a Generate attribute: interpreted
+    * array expressions get NO common-subexpression elimination, so a
+    * projected grams alias is re-evaluated once per reference (three
+    * times in this ratio).
+    */
+  def repetitionRatioFromGrams(grams: Column): Column =
+    (size(grams) - size(array_distinct(grams))).cast("double") /
+      size(grams).cast("double")
 }
