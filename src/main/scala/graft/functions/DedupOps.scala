@@ -164,7 +164,8 @@ object DedupOps {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, minEstimate: Double,
-      hashFn: Column => Column = c => xxhash64(c)): DataFrame = {
+      hashFn: Column => Column = c => xxhash64(c),
+      maxBroadcastVocab: Long = 500000L): DataFrame = {
     val k = bands * rowsPerBand
     // Signature via explode + k codegen'd min-aggregations instead of the
     // [[minhashSignature]] nested-transform fold: array higher-order
@@ -184,9 +185,28 @@ object DedupOps {
     // threshold filter.)
     val tokens = docs.select(col(idCol).as("id"),
       explode(tokenSet(col(textCol))).as("__t"))
-    val mins = (0 until k).map(i =>
-      min(hashFn(concat(lit(s"$i:"), col("__t")))).as(s"__m$i"))
-    val sigs = tokens.groupBy(col("id"))
+    // Vocabulary-level hashing, SIZE-CHECKED (the latestPerKeyAdaptive
+    // pattern): a corpus re-hashes the same token once per containing
+    // document — k·Σ|toks| evaluations — while the distinct vocabulary
+    // is Zipf-small. When the vocabulary fits the bound (~(k+1)·8 B per
+    // entry, ≈68 MB at the default), hash each distinct token ONCE and
+    // broadcast-join the k longs back onto the (doc, token) pairs:
+    // hash count drops from k·Σ|toks| to k·|vocab| and the token stream
+    // never shuffles (broadcast hash join + map-side partial agg).
+    // Above the bound, hash in place — a shuffled vocab join would move
+    // the whole token stream, which costs more than recomputing hashes.
+    // Both branches feed identical per-pair hash values to the min-agg,
+    // so the signatures are bit-identical either way.
+    val vocab = tokens.select(col("__t")).distinct().localCheckpoint()
+    val perToken = (0 until k).map(i =>
+      hashFn(concat(lit(s"$i:"), col("__t"))).as(s"__h$i"))
+    val hashed =
+      if (vocab.count() <= maxBroadcastVocab)
+        tokens.join(broadcast(vocab.select(col("__t") +: perToken: _*)),
+          Seq("__t"))
+      else tokens.select(col("id") +: perToken: _*)
+    val mins = (0 until k).map(i => min(col(s"__h$i")).as(s"__m$i"))
+    val sigs = hashed.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
@@ -213,16 +233,26 @@ object DedupOps {
     // other side's subtree (verified in the round-6 before-plan: the full
     // scan→sign subtree appears twice). Halves the dominant hashing cost.
     val sigs = sigs0.localCheckpoint()
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
             .cast("array<string>")))))
         .as(Seq("band", "band_hash")))
     val l = banded.select(col("band"), col("band_hash"),
-      col("id").as("a_id"), col("sig").as("a_sig"))
+      col("id").as("a_id"))
     val r = banded.select(col("band"), col("band_hash"),
-      col("id").as("b_id"), col("sig").as("b_sig"))
+      col("id").as("b_id"))
+    // candidates travel as BARE ID PAIRS (§8: shuffle keys, not
+    // payloads): with the signature arrays carried along, the
+    // dropDuplicates planned as a SortAggregate (a first(array) buffer
+    // is not hash-aggregable) sorting every pre-dedup candidate row with
+    // 2·k longs attached; keys-only dedup is a plain hash aggregate and
+    // the signatures re-join BY ID from the checkpointed table
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
     // matching-position count as an UNROLLED codegen sum (bit-identical
     // to size(filter(zip_with(a, b, =), m => m)) — counts exactly the
     // positions where both sides are non-null and equal), routed through
@@ -233,10 +263,11 @@ object DedupOps {
     val matchCount = (1 to k).map(i =>
       when(element_at(col("a_sig"), i) === element_at(col("b_sig"), i),
         lit(1)).otherwise(lit(0))).reduce(_ + _)
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         explode(array(matchCount)).as("__m"))
       .filter(col("__m").cast("double") / lit(k.toDouble) >= minEstimate)
