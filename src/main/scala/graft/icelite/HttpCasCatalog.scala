@@ -71,18 +71,30 @@ class HttpCasCatalog(endpoint: String,
     code match {
       case c if c / 100 == 2 =>
         noteSeen(dir, v)
-        // best-effort hint OBJECT (unconditional PUT — a cache, same
-        // contract as FileCatalog's version-hint.text): keeps cold-start
+        // hint OBJECT (unconditional PUT — same contract as
+        // FileCatalog's version-hint.text): keeps cold-start
         // currentVersion O(log gap) even after snapshot expiry deletes
-        // v1; losers never write it, failures are ignored (readers probe)
-        try client.send(req(hintUri(dir))
-            .PUT(HttpRequest.BodyPublishers.ofString(v.toString)).build(),
-          HttpResponse.BodyHandlers.discarding())
-        catch {
-          case _: java.io.IOException => ()
-          // best-effort, but a swallowed interrupt would drop a task
-          // kill — restore the flag and carry on
-          case _: InterruptedException => Thread.currentThread().interrupt()
+        // v1, and its PRESENCE is load-bearing for exists() after v1
+        // expires (ADVICE r5) — so the winner RETRIES the PUT a few
+        // times (transient 5xx/IO) instead of shrugging once. Ultimate
+        // failure is still swallowed: the commit itself already
+        // published, and readers recover by probing.
+        var attempt = 0
+        var hintWritten = false
+        while (!hintWritten && attempt < 3) {
+          attempt += 1
+          try {
+            val hc = client.send(req(hintUri(dir))
+                .PUT(HttpRequest.BodyPublishers.ofString(v.toString)).build(),
+              HttpResponse.BodyHandlers.discarding()).statusCode()
+            hintWritten = hc / 100 == 2
+          } catch {
+            case _: java.io.IOException => ()
+            // retried best-effort, but a swallowed interrupt would drop
+            // a task kill — restore the flag and stop retrying
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt(); attempt = 3
+          }
         }
         true
       // 412 Precondition Failed (S3/MinIO), 409 Conflict (GCS): the
@@ -146,17 +158,24 @@ class HttpCasCatalog(endpoint: String,
       .orElse(storedHint(dir))
     var lo = math.max(1, hinted.getOrElse(1))
     if (!versionExists(dir, lo)) {
+      // No hint anywhere AND no v1: a never-created table, by
+      // convention (like FileCatalog). Return immediately — the forward
+      // probe below exists to recover from a STALE hint, which requires
+      // a hint to have existed; walking it here made every read of a
+      // missing table pay 257 sequential HEAD round trips against a
+      // real object store (ADVICE r5). Winners retry the hint PUT (see
+      // tryPublish), so a created table losing EVERY hint write AND its
+      // v1 to expiry is operator-error territory, not a probe target.
+      if (hinted.isEmpty) return 1
       // the hinted version is gone: expiry removed it while the hint
-      // lagged (out-of-order best-effort hint PUTs), or this is an
-      // empty table. Recover by probing FORWARD — the Catalog contract
-      // is "probe forward, never trust a stale pointer": live versions
-      // can only be AHEAD of a stale hint (hints are written after
-      // their version exists and expiry removes only the oldest).
+      // lagged (out-of-order best-effort hint PUTs). Recover by probing
+      // FORWARD — the Catalog contract is "probe forward, never trust a
+      // stale pointer": live versions can only be AHEAD of a stale hint
+      // (hints are written after their version exists and expiry
+      // removes only the oldest).
       (lo + 1 to lo + maxHintLag).find(versionExists(dir, _)) match {
         case Some(v) => lo = v
         case None if lo != 1 && versionExists(dir, 1) => lo = 1
-        case None if hinted.isEmpty =>
-          return 1 // never-created table: by convention, like FileCatalog
         case None =>
           // a hint exists, so the table WAS created, but nothing is
           // loadable near it — fail loudly instead of returning a

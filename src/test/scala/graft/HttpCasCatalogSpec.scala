@@ -81,6 +81,21 @@ class HttpCasCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("currentVersion on a never-created table answers 1 immediately — " +
+      "no 257-probe forward walk (ADVICE r5)") {
+    withServer { (endpoint, _) =>
+      // the headers thunk runs once per request built — a request counter
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val cat = new HttpCasCatalog(endpoint,
+        () => { n.incrementAndGet(); Map.empty })
+      assert(cat.currentVersion("/tbl/never-created") == 1)
+      // stored-hint GET + v1 HEAD only; the forward probe (256 more
+      // sequential HEAD round trips) must not run without a hint
+      assert(n.get() <= 3, s"made ${n.get()} requests")
+      assert(!cat.exists("/tbl/never-created"))
+    }
+  }
+
   test("currentVersion gallops to the newest version from a cold start, " +
       "recovers via the hint object after low versions expire, and an " +
       "idempotent replayed epoch no-ops") {
