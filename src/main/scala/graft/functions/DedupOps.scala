@@ -30,6 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Scale-adaptive parallelism for CPU-heavy per-row work (guide §2
+    * "derive partitioning from input size, not a constant"): an input
+    * small enough that the file scan yields a SINGLE split (≤
+    * `spark.sql.files.maxPartitionBytes`) runs every downstream
+    * tokenize/fingerprint map on ONE core — measured as the dominant
+    * stage of every dedup operator at bench scale (e.g. the jaccard
+    * candidate join's whole 5.9M-row map ran as one 1.3 s task). Such
+    * inputs are repartitioned to the session's core count
+    * (`defaultParallelism` — the cluster's total cores, never a local
+    * constant); the shuffle moved is ≤ one split by the gate. Anything
+    * with parallel splits already is returned UNTOUCHED, so no corpus
+    * bytes ever reshuffle at real scale. Row-level results are
+    * partitioning-independent throughout this module (hash/min/sum
+    * aggregations and key joins), so outputs are unchanged.
+    */
+  private[graft] def parallelizeSmall(df: DataFrame): (DataFrame, Boolean) = {
+    val spark = df.sparkSession
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      spark.sessionState.conf.filesMaxPartitionBytes
+    if (small) (df.repartition(spark.sparkContext.defaultParallelism), true)
+    else (df, false)
+  }
+
   /** Exact duplicate groups by normalized-text fingerprint: one row per
     * group with its size and the kept (minimum) doc id. A single hash
     * aggregation — partial/final, map-side combined.
@@ -97,8 +120,10 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0)
-    val toks = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
-      tokenSet(col(textCol)).as("toks"))
+    val (src, small) = parallelizeSmall(docs.select(col(idCol).as("id"),
+      col(langCol).as("lang"), col(textCol).as("__text")))
+    val toks = src.select(col("id"), col("lang"),
+      tokenSet(col("__text")).as("toks"))
       .withColumn("sz", size(col("toks")))
     // prefix of the canonical ordering; struct sort = (hash, token) order
     val prefLen = (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1))
@@ -115,7 +140,7 @@ object DedupOps {
         lit(1), prefLen)).as("p"))
       .select(col("id"), col("lang"), col("sz"), col("p.tok").as("ptok"))
       .localCheckpoint()
-    val cand = pe
+    val candRaw = pe
       .select(col("lang"), col("ptok"), col("id").as("a_id"),
         col("sz").as("a_sz"))
       .join(pe.select(col("lang"), col("ptok"), col("id").as("b_id"),
@@ -125,6 +150,17 @@ object DedupOps {
       .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
         lit(threshold) * greatest(col("a_sz"), col("b_sz")).cast("double"))
       .select(col("a_id"), col("b_id"))
+    // Small inputs: pin the dedup+verify stage to the core count. AQE
+    // coalesces this shuffle by BYTE size, but its per-row cost is the
+    // interpreted array_intersect — the candidate set is ~16 B/pair yet
+    // CPU-dominant (measured: the verify stage ran on 6 of 32 cores).
+    // The explicit repartition carries the aggregation's exact clustering
+    // (no extra exchange) and only replaces AQE's decision when the gate
+    // said the whole input is one split; at scale AQE keeps control.
+    val cand = (if (small) candRaw.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"), col("b_id"))
+      else candRaw)
       .dropDuplicates("a_id", "b_id")
     val at = toks.select(col("id").as("a_id"), col("toks").as("a_toks"),
       col("sz").as("a_sz"))
@@ -183,8 +219,10 @@ object DedupOps {
     // rows and no signature — such docs never produced an output pair
     // under the fold form either: their null estimate failed the
     // threshold filter.)
-    val tokens = docs.select(col(idCol).as("id"),
-      explode(tokenSet(col(textCol))).as("__t"))
+    val (src, small) = parallelizeSmall(docs.select(col(idCol).as("id"),
+      col(textCol).as("__text")))
+    val tokens = src.select(col("id"),
+      explode(tokenSet(col("__text"))).as("__t"))
     // Vocabulary-level hashing, SIZE-CHECKED (the latestPerKeyAdaptive
     // pattern): a corpus re-hashes the same token once per containing
     // document — k·Σ|toks| evaluations — while the distinct vocabulary
@@ -210,7 +248,7 @@ object DedupOps {
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-    candidatesFromSigs(sigs, bands, rowsPerBand, minEstimate)
+    candidatesFromSigs(sigs, bands, rowsPerBand, minEstimate, small)
   }
 
   /** LSH banding + estimate over a `(id, sig)` signature frame.
@@ -224,7 +262,8 @@ object DedupOps {
     * more selective; at 10^10 docs selectivity matters even more.
     */
   private def candidatesFromSigs(sigs0: DataFrame, bands: Int,
-      rowsPerBand: Int, minEstimate: Double): DataFrame = {
+      rowsPerBand: Int, minEstimate: Double,
+      small: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // Materialize the signature table ONCE (guide §8's fingerprint table:
     // fixed k×8 bytes per doc, never the text). Without it, the two sides
@@ -232,7 +271,13 @@ object DedupOps {
     // token per document — because a broadcast join side cannot reuse the
     // other side's subtree (verified in the round-6 before-plan: the full
     // scan→sign subtree appears twice). Halves the dominant hashing cost.
-    val sigs = sigs0.localCheckpoint()
+    // Small inputs: the aggregation's AQE-coalesced output is ~1
+    // partition, which would serialize the whole band join + estimate
+    // downstream — spread the fixed-width table across the cores first.
+    val spark = sigs0.sparkSession
+    val sigs = (if (small) sigs0.repartition(
+        spark.sparkContext.defaultParallelism)
+      else sigs0).localCheckpoint()
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("|",
@@ -249,9 +294,14 @@ object DedupOps {
     // is not hash-aggregable) sorting every pre-dedup candidate row with
     // 2·k longs attached; keys-only dedup is a plain hash aggregate and
     // the signatures re-join BY ID from the checkpointed table
-    val cand = l.join(r, Seq("band", "band_hash"))
+    val candRaw = l.join(r, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
+    // same gated spread for the pair dedup + estimate stage (see
+    // ngramJaccardPairs: AQE coalesces by bytes, the stage is CPU-bound)
+    val cand = (if (small) candRaw.repartition(
+        spark.sparkContext.defaultParallelism, col("a_id"), col("b_id"))
+      else candRaw)
       .dropDuplicates("a_id", "b_id")
     // matching-position count as an UNROLLED codegen sum (bit-identical
     // to size(filter(zip_with(a, b, =), m => m)) — counts exactly the
@@ -327,18 +377,23 @@ object DedupOps {
     // tokens): a projected hashFn(__t) alias would be CollapseProject-
     // inlined into all 64 vote aggregates — 64 hash evaluations per token
     // (measured 2.6x slower on the md5 family before this barrier)
-    val tokens = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
-      explode(transform(tokenSet(col(textCol)), t => hashFn(t))).as("__h"))
+    val (src, small) = parallelizeSmall(docs.select(col(idCol).as("id"),
+      col(langCol).as("lang"), col(textCol).as("__text")))
+    val tokens = src.select(col("id"), col("lang"),
+      explode(transform(tokenSet(col("__text")), t => hashFn(t))).as("__h"))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"__v$i"))
-    val sh = tokens.groupBy(col("id"), col("lang"))
+    val shAgg = tokens.groupBy(col("id"), col("lang"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), col("lang"),
         (0 until 64).map(i =>
           when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-      .localCheckpoint()
+    // gated spread before the checkpoint (see candidatesFromSigs)
+    val sh = (if (small) shAgg.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+      else shAgg).localCheckpoint()
     val nChunks = maxDistance + 1
     val chunks = (0 until nChunks).map { i =>
       val start = i * 64 / nChunks
@@ -384,8 +439,10 @@ object DedupOps {
     // the full subtree duplicated per join side). The count that picks
     // the branch reads the same materialized blocks instead of a second
     // parquet pass.
-    val base = emb.select(col(idCol).as("id"),
-      Similarity.toDouble(col(vecCol)).as("v"))
+    val (src, small) = parallelizeSmall(emb.select(col(idCol).as("id"),
+      col(vecCol).as("__vec")))
+    val base = src.select(col("id"),
+      Similarity.toDouble(col("__vec")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .localCheckpoint()
     val a = base.select(col("id").as("a_id"), col("v").as("a_v"),
@@ -493,10 +550,13 @@ object DedupOps {
           min(when(col("own"), col("lbl"))).as("prev"))
         .localCheckpoint()
       // labels only ever decrease, so "changed" ⇔ new < old — readable
-      // straight off the checkpointed blocks, no join and no recompute
-      val changed = next.filter(col("lbl") < col("prev")).limit(1).count()
+      // straight off the checkpointed blocks, no join and no recompute.
+      // isEmpty (incremental take(1)) instead of limit(1).count: the
+      // GlobalLimit form shuffled every round to a single partition; the
+      // take scans in-memory blocks partition-batch-wise and usually
+      // stops at the first one.
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
       labels = next.select(col("id"), col("lbl"))
-      converged = changed == 0L
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -571,8 +631,10 @@ object DedupOps {
     // it is a CONCRETE per-row attribute below — a plain projected alias
     // would be CollapseProject-inlined into every window lambda and the
     // split would re-run per window (see windowGrams' contract)
-    val tokenized = docs.select(col(idCol).as("__id"),
-      explode(array(split(col(textCol), " "))).as("__toks"))
+    val (csrc, _) = parallelizeSmall(docs.select(col(idCol).as("__id"),
+      col(textCol).as("__ctext")))
+    val tokenized = csrc.select(col("__id"),
+      explode(array(split(col("__ctext"), " "))).as("__toks"))
     val gramFamilies = shinglesFromToks(col("__toks"), n) +:
       evalLens.map(m => windowGrams(col("__toks"), m))
     // hash INSIDE the Generate (transform before explode): with a
@@ -644,8 +706,10 @@ object DedupOps {
     // inside the chunk lambda would be CollapseProject-inlined, re-running
     // the whole split ONCE PER CHUNK (the HOF-inlining trap — O(chunks ×
     // tokens) tokenization per document, measured ~2x on this operator)
-    val tokenized = df.select(col(idCol),
-      explode(array(split(col(textCol), " "))).as("__toks"))
+    val (src, _) = parallelizeSmall(df.select(col(idCol),
+      col(textCol).as("__ptext")))
+    val tokenized = src.select(col(idCol),
+      explode(array(split(col("__ptext"), " "))).as("__toks"))
     val toks = col("__toks")
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
     val chunks = tokenized.select(col(idCol),

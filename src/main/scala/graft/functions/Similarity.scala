@@ -56,7 +56,9 @@ object Similarity {
     // two extra interpreted array folds per candidate), and the per-pair
     // dot unrolled: same IEEE ops in the same order, so cos is
     // bit-identical to cosine(q_v, v)
-    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val (src, _) = DedupOps.parallelizeSmall(
+      emb.select(col(idCol).as("id"), col(vecCol).as("__vec")))
+    val base = src.select(col("id"), toDouble(col("__vec")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val q = base.filter(queryPred).select(col("id").as("q_id"),
       col("v").as("q_v"), col("nrm").as("q_n"))
@@ -108,7 +110,9 @@ object Similarity {
     // two full scan→project subtrees). The checkpointed row is the §8
     // "decision" proxy (fixed width, no text); norms computed here so the
     // per-pair cosine never re-derives them.
-    val pre = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val (src, _) = DedupOps.parallelizeSmall(
+      emb.select(col(idCol).as("id"), col(vecCol).as("__vec")))
+    val pre = src.select(col("id"), toDouble(col("__vec")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bs", array(buckets: _*))
       .localCheckpoint()

@@ -46,6 +46,21 @@ class TrainingDataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("parallelizeSmall spreads single-split inputs, passes large through") {
+    val smallDf = (1 to 100).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+    val (sp, small) = DedupOps.parallelizeSmall(smallDf)
+    assert(small, "sub-split-size input must take the repartition branch")
+    assert(sp.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(sp.as[(Long, String)].collect().toSet ==
+      smallDf.as[(Long, String)].collect().toSet) // rows unchanged
+    // stats above one file split (spark.range: 8 B/row ≈ 400 MB) must
+    // pass through UNTOUCHED — no corpus bytes reshuffle at scale
+    val big = spark.range(50000000L).toDF("id")
+    val (bp, bigSmall) = DedupOps.parallelizeSmall(big)
+    assert(!bigSmall)
+    assert(bp eq big)
+  }
+
   test("token-set jaccard pairs find planted near-duplicates") {
     val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
