@@ -58,7 +58,8 @@ object DedupOps {
     * aggregation — partial/final, map-side combined.
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    parallelizeSmall(docs.select(col(idCol), col(textCol)))._1
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /** Distinct whitespace-token set. */
@@ -464,11 +465,18 @@ object DedupOps {
         val banded = base.select(col("id"),
           explode(array(buckets: _*)).as("bucket"))
           .localCheckpoint()
-        val cand = banded.select(col("bucket"), col("id").as("a_id"))
+        val candRaw = banded.select(col("bucket"), col("id").as("a_id"))
           .join(banded.select(col("bucket"), col("id").as("b_id")),
             Seq("bucket"))
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"))
+        // gated spread (see ngramJaccardPairs): without it AQE coalesced
+        // the deduped pair set to ONE partition and the scoring joins +
+        // 64-dim dot products all ran on a single core
+        val cand = (if (small) candRaw.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            col("a_id"), col("b_id"))
+          else candRaw)
           .dropDuplicates("a_id", "b_id")
         cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
       }
