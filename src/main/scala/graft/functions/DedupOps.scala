@@ -515,9 +515,21 @@ object DedupOps {
     * Throws if maxIter rounds pass without convergence rather than silently
     * returning non-canonical labels (with pointer jumping, maxIter = 20
     * covers component diameters up to ~2^20).
+    *
+    * SIZE-CHECKED driver fast path (the [[dedupPassages]]
+    * broadcast/shuffle adaptive pattern): when the edge set fits
+    * `maxDriverEdges` (bare integral id pairs — ≤ ~32 MB of longs at the
+    * default) the components are resolved with a driver-side union-find
+    * in ONE pass over the collected pairs, skipping the loop's per-round
+    * join/aggregate/checkpoint jobs entirely — at bench scale those
+    * rounds are pure fixed cost over a graph of a few hundred nodes.
+    * Union-find with min-id roots yields exactly the loop's fixpoint
+    * (min id per component), proven branch-identical in the spec. Above
+    * the bound — a 100 TB corpus's near-dup graph — or for non-integral
+    * id types, the distributed loop runs unchanged.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxDriverEdges: Long = 2000000L): DataFrame = {
     // Both edge orientations from ONE pass over the pair set: the
     // union-of-two-selects form evaluated the whole upstream pair
     // pipeline once per branch (for dedup_groups that is the full
@@ -531,6 +543,44 @@ object DedupOps {
         struct(col(bCol).as("x"), col(aCol).as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .localCheckpoint()
+    val idType = edges.schema("x").dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // the count reads the just-checkpointed blocks (no recompute of the
+    // upstream pair dataflow); both orientations are in `edges`, hence 2x
+    if (integralId && edges.count() <= 2L * maxDriverEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0 // path compression
+        while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = if (idType == org.apache.spark.sql.types.LongType)
+          row.getLong(0) else row.getInt(0).toLong
+        val b = if (idType == org.apache.spark.sql.types.LongType)
+          row.getLong(1) else row.getInt(1).toLong
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // min-id root: the representative is always the component minimum
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toSeq.map { id =>
+        val root = find(id)
+        if (idType == org.apache.spark.sql.types.LongType)
+          org.apache.spark.sql.Row(id, root)
+        else org.apache.spark.sql.Row(id.toInt, root.toInt)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("canonical_id", idType)))
+      return pairs.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+    }
     // Seed with round 1's result directly: from identity labels, one
     // propagate+jump round yields exactly min(id, min(neighbors)) — a
     // single aggregation over the edge list, no join. Saves the first

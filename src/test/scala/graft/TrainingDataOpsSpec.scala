@@ -150,17 +150,35 @@ class TrainingDataOpsSpec extends SparkTestBase {
     assert(cc.length == 16 && cc.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components: driver union-find branch is identical to " +
+      "the distributed loop") {
+    // mixed shapes: chain, star, triangle, isolated pair — compare the
+    // size-checked driver branch against the loop (forced via bound 0)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (50L, 51L), (50L, 52L),
+      (50L, 53L), (60L, 61L), (61L, 62L), (60L, 62L), (70L, 71L)) ++
+      (100L until 140L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val driver = DedupOps.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = DedupOps.connectedComponents(pairs, "a_id", "b_id",
+      maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == loop)
+    assert(driver(4L) == 1L && driver(53L) == 50L && driver(140L) == 100L)
+  }
+
   test("connected components: pointer jumping converges in O(log diameter) " +
       "rounds, and non-convergence throws instead of returning wrong groups") {
     // diameter-200 chain within 12 rounds — plain min-label propagation
     // would need ~200; pointer jumping reaches distance 2^(r-1) by round r
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 12)
+    val cc = DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 12,
+      maxDriverEdges = 0L) // force the distributed loop
       .collect()
     assert(cc.length == 201 && cc.forall(_.getLong(1) == 0L))
     // starved of rounds it must refuse, never silently emit partial labels
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 2)
+      DedupOps.connectedComponents(chain, "a_id", "b_id", maxIter = 2,
+        maxDriverEdges = 0L)
     }
   }
 
