@@ -507,10 +507,7 @@ object SparkEntry {
       // annLshCheckOracle), so the two engines recompute identical dot
       // signs — a cross-engine proof the bucketing itself (not just
       // recall) is what it claims
-      // single-split input spread (DedupOps.parallelizeSmall): the 4×4
-      // interpreted hyperplane dots per row otherwise run on one task
-      val base = DedupOps.parallelizeSmall(
-          t(s, d, "embeddings").select(col("embedding")))._1
+      val base = t(s, d, "embeddings")
         .select(Similarity.toDouble(col("embedding")).as("v"))
       val buckets = (0 until 4).map { tb =>
         val planes = Similarity.hyperplanes(42L + 7919L * tb, 4, 64)

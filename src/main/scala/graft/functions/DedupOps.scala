@@ -58,8 +58,9 @@ object DedupOps {
     * aggregation — partial/final, map-side combined.
     */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    parallelizeSmall(docs.select(col(idCol), col(textCol)))._1
-      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    // no parallelizeSmall here: one codegen md5 per row is cheaper than
+    // the spread's extra exchange (paired A/B measured +0.2 s)
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /** Distinct whitespace-token set. */
@@ -378,10 +379,11 @@ object DedupOps {
     // tokens): a projected hashFn(__t) alias would be CollapseProject-
     // inlined into all 64 vote aggregates — 64 hash evaluations per token
     // (measured 2.6x slower on the md5 family before this barrier)
-    val (src, small) = parallelizeSmall(docs.select(col(idCol).as("id"),
-      col(langCol).as("lang"), col(textCol).as("__text")))
-    val tokens = src.select(col("id"), col("lang"),
-      explode(transform(tokenSet(col("__text")), t => hashFn(t))).as("__h"))
+    // no parallelizeSmall here: one codegen'd hash per token is cheaper
+    // than the spread's extra exchange (paired A/B measured +0.3 s on the
+    // xxhash64 family; the vote aggregation carries fixed-width rows)
+    val tokens = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      explode(transform(tokenSet(col(textCol)), t => hashFn(t))).as("__h"))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, lit(1L))
         .otherwise(lit(-1L))).as(s"__v$i"))
@@ -391,10 +393,7 @@ object DedupOps {
         (0 until 64).map(i =>
           when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-    // gated spread before the checkpoint (see candidatesFromSigs)
-    val sh = (if (small) shAgg.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism)
-      else shAgg).localCheckpoint()
+    val sh = shAgg.localCheckpoint()
     val nChunks = maxDistance + 1
     val chunks = (0 until nChunks).map { i =>
       val start = i * 64 / nChunks
@@ -764,10 +763,10 @@ object DedupOps {
     // inside the chunk lambda would be CollapseProject-inlined, re-running
     // the whole split ONCE PER CHUNK (the HOF-inlining trap — O(chunks ×
     // tokens) tokenization per document, measured ~2x on this operator)
-    val (src, _) = parallelizeSmall(df.select(col(idCol),
-      col(textCol).as("__ptext")))
-    val tokenized = src.select(col(idCol),
-      explode(array(split(col("__ptext"), " "))).as("__toks"))
+    // no parallelizeSmall here: chunking is one split + slices per row —
+    // cheaper than the spread's extra exchange (paired A/B: +0.3 s)
+    val tokenized = df.select(col(idCol),
+      explode(array(split(col(textCol), " "))).as("__toks"))
     val toks = col("__toks")
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
     val chunks = tokenized.select(col(idCol),
