@@ -56,9 +56,11 @@ object Similarity {
     // two extra interpreted array folds per candidate), and the per-pair
     // dot unrolled: same IEEE ops in the same order, so cos is
     // bit-identical to cosine(q_v, v)
-    val (src, _) = DedupOps.parallelizeSmall(
-      emb.select(col(idCol).as("id"), col(vecCol).as("__vec")))
-    val base = src.select(col("id"), toDouble(col("__vec")).as("v"))
+    // no parallelizeSmall here: the ann keys run at the COLD head of the
+    // bench sequence, where the spread's extra exchange stages cost more
+    // in first-use codegen than they save (paired full-Bench A/B:
+    // +0.2-0.6 s; isolated warm runs measured a wash)
+    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val q = base.filter(queryPred).select(col("id").as("q_id"),
       col("v").as("q_v"), col("nrm").as("q_n"))
@@ -110,9 +112,8 @@ object Similarity {
     // two full scan→project subtrees). The checkpointed row is the §8
     // "decision" proxy (fixed width, no text); norms computed here so the
     // per-pair cosine never re-derives them.
-    val (src, _) = DedupOps.parallelizeSmall(
-      emb.select(col(idCol).as("id"), col(vecCol).as("__vec")))
-    val pre = src.select(col("id"), toDouble(col("__vec")).as("v"))
+    // no parallelizeSmall (same cold-head rationale as bruteForceTopK)
+    val pre = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bs", array(buckets: _*))
       .localCheckpoint()
