@@ -25,6 +25,8 @@ object JobProbe {
       .appName("thorspark-job-probe")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("SPARK_GRAFT_PROBE_NO_AQE")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +50,10 @@ object JobProbe {
           val si = e.stageInfo
           val dur = (for (a <- si.submissionTime; b <- si.completionTime)
             yield (b - a) / 1e3).getOrElse(-1.0)
-          lines += f"    stage ${si.stageId}%3d $dur%7.3f s tasks=${si.numTasks}%3d  ${si.name}"
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobProbe"))
+            .getOrElse("").trim
+          lines += f"    stage ${si.stageId}%3d $dur%7.3f s tasks=${si.numTasks}%3d  ${si.name} | $site"
         }
     })
     spark.read.parquet(s"$sfDir/region.parquet").count() // absorb init

@@ -280,12 +280,19 @@ object DedupOps {
     val sigs = (if (small) sigs0.repartition(
         spark.sparkContext.defaultParallelism)
       else sigs0).localCheckpoint()
-    val banded = sigs.select(col("id"),
+    val banded0 = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("|",
           slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
             .cast("array<string>")))))
         .as(Seq("band", "band_hash")))
+    // gated band-key spread: AQE coalesced the band self-join's probe
+    // side to ONE partition (bytes-small, CPU-bound — probe: a 0.55 s
+    // single-task stage), serializing the join and the pair emit
+    val banded = if (small) banded0.repartition(
+        spark.sparkContext.defaultParallelism,
+        col("band"), col("band_hash"))
+      else banded0
     val l = banded.select(col("band"), col("band_hash"),
       col("id").as("a_id"))
     val r = banded.select(col("band"), col("band_hash"),
